@@ -1,0 +1,153 @@
+"""Prox-function combinators: conjugation, separable sums, slicing, scaling.
+
+These cover the calculus the reference obtains from ProximalCore /
+ProximalOperators: Moreau-decomposition conjugates
+(``src/algorithms/primal_dual.jl:187,194``), ``SlicedSeparableSum``
+(``test/problems/test_linear_programs.jl:156``) and separable sums over
+structured iterates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.tree import real_dtype_of, tree_map, tree_scale, tree_sub, tree_vdot_real
+from .base import proxclass
+
+
+@proxclass
+class Conjugate:
+    """Convex conjugate f*; prox through the Moreau decomposition:
+
+        prox_{gamma f*}(x) = x - gamma * prox_{f/gamma}(x/gamma)
+
+    The value at the prox point uses the Fenchel equality at the maximizer:
+    f*(z) = <z, u> - f(u) where u = prox_{f/gamma}(x/gamma).
+    """
+
+    f: object
+
+    is_convex = True  # conjugates are always convex
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def prox(self, x, gamma):
+        u, f_u = self.f.prox(tree_scale(1 / gamma, x), 1 / gamma)
+        z = tree_map(lambda xl, ul: xl - gamma * ul, x, u)
+        val = tree_vdot_real(z, u) - f_u
+        return z, val
+
+
+@proxclass(meta_fields=())
+class SeparableSum:
+    """g(x1, ..., xk) = g1(x1) + ... + gk(xk) over a tuple-structured iterate."""
+
+    fs: tuple
+
+    @property
+    def is_convex(self):
+        return all(getattr(f, "is_convex", False) for f in self.fs)
+
+    @property
+    def is_generalized_quadratic(self):
+        return all(getattr(f, "is_generalized_quadratic", False) for f in self.fs)
+
+    def __call__(self, x):
+        vals = [f(xi) for f, xi in zip(self.fs, x)]
+        return sum(vals[1:], vals[0])
+
+    def prox(self, x, gamma):
+        outs = [f.prox(xi, gamma) for f, xi in zip(self.fs, x)]
+        zs = tuple(z for z, _ in outs)
+        vals = [v for _, v in outs]
+        return zs, sum(vals[1:], vals[0])
+
+
+@proxclass(meta_fields=("slices",))
+class SlicedSeparableSum:
+    """g(x) = sum_i g_i(x[slice_i]) on a flat vector with static slices.
+
+    ``slices`` is a tuple of (start, stop) pairs.  Mirrors
+    ``ProximalOperators.SlicedSeparableSum``.
+    """
+
+    fs: tuple
+    slices: tuple
+
+    @property
+    def is_convex(self):
+        return all(getattr(f, "is_convex", False) for f in self.fs)
+
+    @property
+    def is_generalized_quadratic(self):
+        return all(getattr(f, "is_generalized_quadratic", False) for f in self.fs)
+
+    def __call__(self, x):
+        vals = [f(x[a:b]) for f, (a, b) in zip(self.fs, self.slices)]
+        return sum(vals[1:], vals[0])
+
+    def prox(self, x, gamma):
+        zs, vals = [], []
+        for f, (a, b) in zip(self.fs, self.slices):
+            z, v = f.prox(x[a:b], gamma)
+            zs.append(z)
+            vals.append(v)
+        return jnp.concatenate(zs), sum(vals[1:], vals[0])
+
+
+@proxclass
+class Postcompose:
+    """g(x) = a * f(x) + b;  prox_{gamma g} = prox_{(a gamma) f}."""
+
+    f: object
+    a: object = 1.0
+    b: object = 0.0
+
+    @property
+    def is_convex(self):
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def __call__(self, x):
+        return self.a * self.f(x) + self.b
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        v, g = value_and_gradient(self.f, x)
+        return self.a * v + self.b, tree_scale(self.a, g)
+
+    def prox(self, x, gamma):
+        z, f_z = self.f.prox(x, gamma * self.a)
+        return z, self.a * f_z + self.b
+
+
+@proxclass
+class MoreauEnvelope:
+    """Moreau envelope f^gamma — a smooth surrogate with an exact gradient:
+
+        f^g(x) = min_z f(z) + ||z-x||^2/(2 g),  grad = (x - prox_{g f}(x)) / g
+    """
+
+    f: object
+    gamma: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        z, f_z = self.f.prox(x, self.gamma)
+        d = tree_sub(x, z)
+        return f_z + tree_vdot_real(d, d) / (2 * self.gamma)
+
+    def value_and_gradient(self, x):
+        z, f_z = self.f.prox(x, self.gamma)
+        d = tree_sub(x, z)
+        val = f_z + tree_vdot_real(d, d) / (2 * self.gamma)
+        return val, tree_scale(1 / self.gamma, d)

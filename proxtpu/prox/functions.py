@@ -1,0 +1,378 @@
+"""Proximable / smooth function library (ProximalOperators.jl equivalent).
+
+This is the minimum function library the reference test/bench suite needs
+(``SURVEY.md`` §1 L0): NormL1, LeastSquares, SqrNormL2, ElasticNet, Translate,
+Linear, IndBox, IndNonnegative, IndPoint, IndAffine, SlicedSeparableSum
+(see ``/root/reference/test/problems/*.jl``, ``benchmark/benchmarks.jl:1``),
+plus smooth losses used by the TPU benchmark configs.
+
+Everything is a frozen pytree dataclass (see :mod:`proxtpu.prox.base`): array
+parameters are traced leaves, so a *batch* of functions (e.g. 10k lasso
+instances) is just a stacked pytree under ``vmap``.  All proxes are written as
+shape-preserving elementwise/VPU ops or batched MXU matmuls — no Python
+control flow on data.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.tree import (
+    real_dtype_of,
+    tree_inf_norm,
+    tree_map,
+    tree_scale,
+    tree_sub,
+    tree_vdot_real,
+)
+from .base import Zero, proxclass
+
+
+def _rzero(x):
+    return jnp.zeros((), real_dtype_of(x))
+
+
+def _soft_threshold(x, thr):
+    """Complex-safe soft-thresholding (prox of the l1 norm)."""
+    absx = jnp.abs(x)
+    scale = jnp.maximum(absx - thr, 0) / jnp.where(absx == 0, 1, absx)
+    return x * scale.astype(x.dtype)
+
+
+@proxclass
+class NormL1:
+    """f(x) = lam * ||x||_1 (complex-safe; prox is soft-thresholding)."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        leaves = jax.tree.leaves(x)
+        return self.lam * sum(jnp.sum(jnp.abs(l)) for l in leaves)
+
+    def prox(self, x, gamma):
+        z = tree_map(lambda l: _soft_threshold(l, gamma * self.lam), x)
+        return z, self(z)
+
+
+@proxclass
+class NormL2:
+    """f(x) = lam * ||x||_2 (block soft-thresholding prox)."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        from ..utils.tree import tree_norm
+
+        return self.lam * tree_norm(x)
+
+    def prox(self, x, gamma):
+        from ..utils.tree import tree_norm
+
+        nrm = tree_norm(x)
+        scale = jnp.maximum(1 - gamma * self.lam / jnp.where(nrm == 0, 1, nrm), 0)
+        z = tree_scale(scale, x)
+        return z, self(z)
+
+
+@proxclass
+class SqrNormL2:
+    """f(x) = lam/2 * ||x||^2 — both smooth and proxable."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        return self.lam / 2 * tree_vdot_real(x, x)
+
+    def value_and_gradient(self, x):
+        return self(x), tree_scale(self.lam, x)
+
+    def prox(self, x, gamma):
+        z = tree_scale(1 / (1 + gamma * self.lam), x)
+        return z, self(z)
+
+
+@proxclass
+class ElasticNet:
+    """f(x) = mu*||x||_1 + lam/2*||x||^2."""
+
+    mu: object = 1.0
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        l1 = sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(x))
+        return self.mu * l1 + self.lam / 2 * tree_vdot_real(x, x)
+
+    def prox(self, x, gamma):
+        z = tree_map(
+            lambda l: _soft_threshold(l, gamma * self.mu) / (1 + gamma * self.lam),
+            x,
+        )
+        return z, self(z)
+
+
+@proxclass
+class Linear:
+    """f(x) = <c, x>."""
+
+    c: object
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        return tree_vdot_real(self.c, x)
+
+    def value_and_gradient(self, x):
+        return self(x), self.c
+
+    def prox(self, x, gamma):
+        z = tree_map(lambda xl, cl: xl - gamma * cl, x, self.c)
+        return z, self(z)
+
+
+@proxclass
+class IndBox:
+    """Indicator of the box {low <= x <= high} (real dtypes)."""
+
+    low: object
+    high: object
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        ok = jnp.array(True)
+        for l in jax.tree.leaves(x):
+            ok = ok & jnp.all(l >= self.low) & jnp.all(l <= self.high)
+        R = real_dtype_of(x)
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        z = tree_map(lambda l: jnp.clip(l, self.low, self.high), x)
+        return z, _rzero(x)
+
+
+def IndNonnegative():
+    """Indicator of the nonnegative orthant."""
+    return IndBox(0.0, jnp.inf)
+
+
+@proxclass
+class IndPoint:
+    """Indicator of the singleton {p}."""
+
+    p: object
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        R = real_dtype_of(x)
+        same = tree_inf_norm(tree_sub(x, self.p)) == 0
+        return jnp.where(same, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        return self.p, _rzero(x)
+
+
+@proxclass
+class IndAffine:
+    """Indicator of {x : Ax = b}; prox is the affine projection.
+
+    The Gram factor chol(A A^H) is precomputed at construction so each
+    projection is two triangular solves plus two matvecs (MXU-friendly).
+    """
+
+    A: object
+    b: object
+    chol: object
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        R = real_dtype_of(x)
+        feas = jnp.max(jnp.abs(self.A @ x - self.b)) <= 1e3 * jnp.finfo(R).eps
+        return jnp.where(feas, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        resid = self.A @ x - self.b
+        w = jax.scipy.linalg.cho_solve((self.chol, True), resid)
+        z = x - self.A.conj().T @ w
+        return z, _rzero(x)
+
+
+def make_ind_affine(A, b):
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    gram = A @ A.conj().T
+    chol = jax.scipy.linalg.cholesky(gram, lower=True)
+    return IndAffine(A, b, chol)
+
+
+@proxclass(meta_fields=("wide",))
+class LeastSquares:
+    """f(x) = lam/2 * ||A x - b||^2 — smooth *and* proxable.
+
+    The prox solves (I + c A^H A) z = x + c A^H b with c = lam*gamma, via a
+    precomputed eigendecomposition of the smaller Gram matrix (Woodbury when
+    A is wide), so a prox costs two matvecs for any gamma.  Mirrors
+    ``ProximalOperators.LeastSquares`` (used at
+    ``test/problems/test_lasso_small.jl:36``).
+    """
+
+    A: object
+    b: object
+    lam: object
+    U: object  # eigenvectors of the (smaller) Gram matrix
+    s: object  # eigenvalues of the (smaller) Gram matrix
+    Atb: object
+    wide: bool  # static: whether m < n (Woodbury path)
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        r = self.A @ x - self.b
+        return self.lam / 2 * jnp.real(jnp.vdot(r, r))
+
+    def value_and_gradient(self, x):
+        r = self.A @ x - self.b
+        val = self.lam / 2 * jnp.real(jnp.vdot(r, r))
+        return val, self.lam * (self.A.conj().T @ r)
+
+    def prox(self, x, gamma):
+        c = self.lam * gamma
+        rhs = x + c * self.Atb
+        if self.wide:
+            # Woodbury: (I + c A^H A)^{-1} v = v - c A^H (I + c A A^H)^{-1} A v
+            w = self.A @ rhs
+            w = self.U @ ((self.U.conj().T @ w) / (1 + c * self.s)).astype(w.dtype)
+            z = rhs - c * (self.A.conj().T @ w)
+        else:
+            z = self.U @ ((self.U.conj().T @ rhs) / (1 + c * self.s)).astype(
+                rhs.dtype
+            )
+        return z, self(z)
+
+
+def make_least_squares(A, b, lam=1.0):
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    m, n = A.shape
+    wide = m < n
+    gram = A @ A.conj().T if wide else A.conj().T @ A
+    s, U = jnp.linalg.eigh(gram)
+    return LeastSquares(A, b, lam, U, s, A.conj().T @ b, wide)
+
+
+@proxclass
+class Translate:
+    """g(x) = f(x + t) (ProximalOperators.Translate)."""
+
+    f: object
+    t: object
+
+    @property
+    def is_convex(self):
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def __call__(self, x):
+        return self.f(tree_map(jnp.add, x, self.t))
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        return value_and_gradient(self.f, tree_map(jnp.add, x, self.t))
+
+    def prox(self, x, gamma):
+        z_shift, f_z = self.f.prox(tree_map(jnp.add, x, self.t), gamma)
+        return tree_map(jnp.subtract, z_shift, self.t), f_z
+
+
+@proxclass
+class Quadratic:
+    """f(x) = x'Qx/2 + q'x with a hand-written gradient oracle.
+
+    Mirrors the ``Quadratic`` test fixture (``test/runtests.jl:6-16``) that
+    exercises the bring-your-own-gradient seam.
+    """
+
+    Q: object
+    q: object
+
+    is_convex = False  # Q may be indefinite (nonconvex QP tests)
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        return jnp.real(jnp.vdot(x, self.Q @ x)) / 2 + tree_vdot_real(self.q, x)
+
+    def value_and_gradient(self, x):
+        Qx = self.Q @ x
+        grad = Qx + self.q
+        val = jnp.real(jnp.vdot(x, Qx)) / 2 + tree_vdot_real(self.q, x)
+        return val, grad
+
+
+@proxclass
+class LogisticLoss:
+    """f(u) = sum(softplus(-u)) — logistic loss with all-one labels.
+
+    Numerically stable value and gradient (grad = sigmoid(u) - 1); matches
+    the test problem at ``test/problems/test_sparse_logistic_small.jl:20-23``.
+    """
+
+    scale: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, u):
+        return self.scale * sum(
+            jnp.sum(jax.nn.softplus(-l)) for l in jax.tree.leaves(u)
+        )
+
+    def value_and_gradient(self, u):
+        val = self(u)
+        grad = tree_map(lambda l: self.scale * (jax.nn.sigmoid(l) - 1), u)
+        return val, grad
+
+
+@proxclass
+class SqrDistance:
+    """f(x) = ||x - b||^2 / 2 (the benchmark's SquaredDistance,
+    ``benchmark/benchmarks.jl:20-27``)."""
+
+    b: object
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        d = tree_sub(x, self.b)
+        return tree_vdot_real(d, d) / 2
+
+    def value_and_gradient(self, x):
+        d = tree_sub(x, self.b)
+        return tree_vdot_real(d, d) / 2, d
+
+    def prox(self, x, gamma):
+        z = tree_map(lambda xl, bl: (xl + gamma * bl) / (1 + gamma), x, self.b)
+        return z, self(z)

@@ -1,0 +1,118 @@
+"""Lasso small — the reference's primary behavioral oracle.
+
+Mirrors ``test/problems/test_lasso_small.jl``: every solver config must hit
+the hardcoded 16-digit solution within TOL, under the same iteration budget
+(a regression fence on convergence speed), preserving the iterate dtype, for
+real and complex types.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import proxtpu as pa
+from proxtpu.prox import NormL1, make_least_squares
+
+from problems import LASSO_A, LASSO_B, LASSO_XSTAR, as_dtype
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+
+
+def setup(dtype):
+    A = as_dtype(LASSO_A, dtype)
+    b = as_dtype(LASSO_B, dtype)
+    lam = 0.1 * float(np.max(np.abs(np.asarray(A.conj().T @ b))))
+    fA = make_least_squares(A, b)  # f(x) = ||Ax - b||^2 / 2 (hand gradient)
+    fA_ad = pa.AutoDifferentiable(
+        lambda x: 0.5 * jnp.real(jnp.vdot(A @ x - b, A @ x - b))
+    )
+    g = NormL1(lam)
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    x_star = as_dtype(LASSO_XSTAR, dtype)
+    x0 = jnp.zeros(A.shape[1], dtype)
+    return A, b, fA, fA_ad, g, Lf, x_star, x0
+
+
+TOL = 1e-4
+
+
+def check(x, it, x_star, dtype, budget, tol=TOL):
+    assert x.dtype == jnp.dtype(dtype)
+    assert float(jnp.max(jnp.abs(x - x_star))) <= tol
+    assert it < budget
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_forward_backward_fixed(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.ForwardBackward(tol=TOL)
+    x, it = solver(x0=x0, f=fA, g=g, Lf=Lf)
+    check(x, it, x_star, dtype, 150)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_forward_backward_adaptive(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.ForwardBackward(tol=TOL, adaptive=True)
+    x, it = solver(x0=x0, f=fA, g=g)
+    check(x, it, x_star, dtype, 300)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_forward_backward_adaptive_regret(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.ForwardBackward(tol=TOL, adaptive=True, increase_gamma=1.01)
+    x, it = solver(x0=x0, f=fA, g=g)
+    check(x, it, x_star, dtype, 150)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_forward_backward_autodiff(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.ForwardBackward(tol=TOL)
+    x, it = solver(x0=x0, f=fA_ad, g=g, Lf=Lf)
+    check(x, it, x_star, dtype, 150)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_fista_fixed(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.FastForwardBackward(tol=TOL)
+    x, it = solver(x0=x0, f=fA, g=g, Lf=Lf)
+    check(x, it, x_star, dtype, 100)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_fista_adaptive(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.FastForwardBackward(tol=TOL, adaptive=True)
+    x, it = solver(x0=x0, f=fA, g=g)
+    check(x, it, x_star, dtype, 200)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_fista_adaptive_regret(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.FastForwardBackward(tol=TOL, adaptive=True, increase_gamma=1.01)
+    x, it = solver(x0=x0, f=fA, g=g)
+    check(x, it, x_star, dtype, 100)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_fista_custom_extrapolation(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.FastForwardBackward(tol=TOL)
+    x, it = solver(
+        x0=x0, f=fA, g=g, Lf=Lf,
+        extrapolation_sequence=pa.FixedNesterovSequence(),
+    )
+    check(x, it, x_star, dtype, 100)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64])
+def test_x0_not_mutated(dtype):
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    x0_backup = jnp.array(x0)
+    solver = pa.ForwardBackward(tol=TOL)
+    solver(x0=x0, f=fA, g=g, Lf=Lf)
+    assert bool(jnp.all(x0 == x0_backup))

@@ -71,9 +71,16 @@ class AndersonAcceleration:
 
     def apply(self, state, v):
         v_flat, spec = flatten_like(v)
-        YtY = state.Y.conj().T @ state.Y
-        Ytv = state.Y.conj().T @ v_flat
-        d = v_flat + (state.S - state.Y) @ (jnp.linalg.pinv(YtY) @ Ytv)
+        # Column-normalize Y before the M x M pinv solve: algebraically the
+        # same coefficients, but far better conditioned in float32 (the
+        # reference forms pinv(Y'Y) directly, ``anderson.jl:57``).
+        col = jnp.sqrt(jnp.real(jnp.sum(state.Y.conj() * state.Y, axis=0)))
+        scale = jnp.where(col == 0, 1, col)
+        Yn = state.Y / scale[None, :].astype(state.Y.dtype)
+        G = Yn.conj().T @ Yn
+        rhs = Yn.conj().T @ v_flat
+        coef = (jnp.linalg.pinv(G) @ rhs) / scale.astype(state.Y.dtype)
+        d = v_flat + (state.S - state.Y) @ coef
         # fresh operator acts as the identity (``anderson.jl:52-53``)
         d = jnp.where(state.currmem == 0, v_flat, d)
         return unflatten_like(d, spec)

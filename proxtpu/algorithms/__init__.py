@@ -20,6 +20,19 @@ from .forward_backward import (
     ProximalGradient,
     make_forward_backward_iteration,
 )
+from .davis_yin import DavisYin, DavisYinIteration, make_davis_yin_iteration
+from .li_lin import LiLin, LiLinIteration, make_li_lin_iteration
+from .sfista import SFISTA, SFISTAIteration, make_sfista_iteration
+from .primal_dual import (
+    AFBA,
+    AFBAIteration,
+    ChambollePock,
+    VuCondat,
+    afba_default_stepsizes,
+    make_afba_iteration,
+    make_chambolle_pock_iteration,
+    make_vu_condat_iteration,
+)
 
 __all__ = [
     "IterativeAlgorithm",
@@ -39,4 +52,11 @@ __all__ = [
     "DouglasRachford", "DouglasRachfordIteration",
     "make_douglas_rachford_iteration",
     "DRLS", "DRLSIteration", "make_drls_iteration",
+    "DavisYin", "DavisYinIteration", "make_davis_yin_iteration",
+    "LiLin", "LiLinIteration", "make_li_lin_iteration",
+    "SFISTA", "SFISTAIteration", "make_sfista_iteration",
+    "AFBA", "AFBAIteration", "make_afba_iteration",
+    "VuCondat", "make_vu_condat_iteration",
+    "ChambollePock", "make_chambolle_pock_iteration",
+    "afba_default_stepsizes",
 ]

@@ -192,7 +192,12 @@ def convex_conjugate(f):
     if isinstance(f, IndZero):
         return Zero()
     from .combinators import Conjugate
+    from .functions import SqrNormL2
 
     if isinstance(f, Conjugate):
         return f.f
+    if isinstance(f, SqrNormL2):
+        # (lam/2 ||x||^2)* = 1/(2 lam) ||y||^2 — keeps the conjugate smooth,
+        # which AFBA requires of l* (``primal_dual.jl:187``)
+        return SqrNormL2(1 / f.lam)
     return Conjugate(f)

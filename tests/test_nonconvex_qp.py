@@ -1,0 +1,77 @@
+"""Nonconvex box-constrained QP — line-search family + Li-Lin.
+
+Mirrors ``test/problems/test_nonconvex_qp.jl``: a tiny indefinite QP plus
+random 100-d instances; correctness is the fixed-point residual of the
+projected-gradient map at the returned point (no closed-form solution).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import proxtpu as pa
+from proxtpu.prox import IndBox, Quadratic
+
+TOL = 1e-4
+
+
+def residual_ok(x, Q, q, low, upp, gamma, tol):
+    x = np.asarray(x)
+    z = np.clip(x - gamma * (Q @ x + q), low, upp)
+    return np.max(np.abs(x - z)) / gamma <= tol
+
+
+def tiny_problem():
+    Q = np.diag([-0.5, 1.0])
+    q = np.array([0.3, 0.5])
+    gamma = 0.95 / 1.0  # Lip = max diag
+    return Q, q, -1.0, 1.0, gamma
+
+
+def random_problem(k):
+    rng = np.random.default_rng(k)
+    n = 100
+    Araw = rng.standard_normal((n, n))
+    U, _ = np.linalg.qr(Araw)
+    eigenvalues = 2 * rng.random(n) - 1
+    Q = U @ np.diag(eigenvalues) @ U.T
+    Q = 0.5 * (Q + Q.T)
+    q = rng.standard_normal(n)
+    gamma = 0.95 / np.max(np.abs(eigenvalues))
+    return Q, q, -1.0, 1.0, gamma
+
+
+def make_problem(Q, q, low, upp):
+    f = Quadratic(jnp.asarray(Q), jnp.asarray(q))
+    g = IndBox(low, upp)
+    return f, g
+
+
+SOLVERS = ["PANOC", "PANOCplus", "ZeroFPR", "LiLin"]
+
+
+def run_solver(name, f, g, x0, gamma):
+    if name == "LiLin":
+        solver = pa.LiLin(tol=TOL)
+        return solver(x0=x0, f=f, g=g, gamma=gamma)
+    solver = getattr(pa, name)(tol=TOL)
+    return solver(x0=x0, f=f, g=g)
+
+
+@pytest.mark.parametrize("name", SOLVERS)
+def test_tiny(name):
+    Q, q, low, upp, gamma = tiny_problem()
+    f, g = make_problem(Q, q, low, upp)
+    x0 = jnp.zeros(2, jnp.float64)
+    x, it = run_solver(name, f, g, x0, gamma)
+    assert residual_ok(x, Q, q, low, upp, gamma, TOL)
+
+
+@pytest.mark.parametrize("name", SOLVERS)
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_random_100d(name, k):
+    Q, q, low, upp, gamma = random_problem(k)
+    f, g = make_problem(Q, q, low, upp)
+    x0 = jnp.zeros(100, jnp.float64)
+    x, it = run_solver(name, f, g, x0, gamma)
+    assert residual_ok(x, Q, q, low, upp, gamma, TOL)

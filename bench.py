@@ -1,0 +1,137 @@
+"""Benchmark: batched lasso problems/sec on one TPU chip.
+
+The reference publishes no numbers (BASELINE.md); its harness solves lasso
+instances one at a time on one CPU core with BenchmarkTools.  The TPU-native
+headline metric (BASELINE.json) is *batched problems/sec to convergence*:
+a stacked batch of lasso instances solved by the vmapped FISTA driver, every
+per-lane matvec fused into one batched MXU matmul.
+
+``vs_baseline`` is the measured speedup over the same algorithm, same data,
+same stopping rule, implemented in single-threaded NumPy (a faithful
+stand-in for the single-core Julia reference, which solves one problem at a
+time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+M, N = 200, 400
+BATCH = 256
+TOL = 1e-5
+MAXIT = 2000  # batch converges in ~650 iterations at HIGHEST matmul precision
+BASELINE_PROBLEMS = 8  # numpy baseline extrapolates from this many solves
+DTYPE = np.float32
+
+
+def gen_problems(batch):
+    rng = np.random.default_rng(0)
+    As = rng.standard_normal((batch, M, N)).astype(DTYPE) / np.sqrt(M)
+    bs = rng.standard_normal((batch, M)).astype(DTYPE)
+    lams = 0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1)
+    Lfs = np.array(
+        [np.linalg.norm(As[i], 2) ** 2 for i in range(batch)], dtype=DTYPE
+    )
+    return As, bs, lams.astype(DTYPE), Lfs
+
+
+def numpy_fista(A, b, lam, Lf, tol, maxit):
+    """Single-threaded baseline: FISTA with the simple (k-1)/(k+2)-free
+    t-sequence and the same ||res||_inf/gamma stopping rule."""
+    n = A.shape[1]
+    x = np.zeros(n, DTYPE)
+    z = x.copy()
+    gamma = DTYPE(1.0) / Lf
+    t = 1.0
+    for k in range(1, maxit + 1):
+        grad = A.T @ (A @ x - b)
+        y = x - gamma * grad
+        z_new = np.sign(y) * np.maximum(np.abs(y) - gamma * lam, 0)
+        res = x - z_new
+        if np.max(np.abs(res)) / gamma <= tol:
+            return z_new, k
+        t_new = (1 + np.sqrt(1 + 4 * t * t)) / 2
+        x = z_new + ((t - 1) / t_new) * (z_new - z)
+        z, t = z_new, t_new
+    return z, maxit
+
+
+def run_numpy_baseline(As, bs, lams, Lfs):
+    k = min(BASELINE_PROBLEMS, As.shape[0])
+    t0 = time.perf_counter()
+    iters = []
+    for i in range(k):
+        _, it = numpy_fista(As[i], bs[i], lams[i], Lfs[i], TOL, MAXIT)
+        iters.append(it)
+    dt = time.perf_counter() - t0
+    return k / dt, float(np.mean(iters))
+
+
+def run_jax(As, bs, lams, Lfs):
+    import jax
+    import jax.numpy as jnp
+
+    from proxtpu.algorithms.fast_forward_backward import (
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.parallel.batch import batched_run_loop
+    from proxtpu.prox import LeastSquaresLoss, NormL1
+
+    platform = jax.devices()[0].platform
+
+    iteration = jax.vmap(
+        lambda A, b, lam, Lf: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N, DTYPE),
+            f=LeastSquaresLoss(A, b),
+            g=NormL1(lam),
+            gamma=1.0 / Lf,
+        )
+    )(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(lams), jnp.asarray(Lfs))
+
+    def solve():
+        xs, iters, done = batched_run_loop(iteration, MAXIT, TOL)
+        jax.block_until_ready((xs, iters, done))
+        return xs, iters, done
+
+    xs, iters, done = solve()  # compile + warm
+    n_runs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        xs, iters, done = solve()
+    dt = (time.perf_counter() - t0) / n_runs
+    frac_done = float(np.mean(np.asarray(done)))
+    return BATCH / dt, float(np.mean(np.asarray(iters))), frac_done, platform
+
+
+def main():
+    As, bs, lams, Lfs = gen_problems(BATCH)
+    jax_pps, jax_iters, frac_done, platform = run_jax(As, bs, lams, Lfs)
+    np_pps, np_iters = run_numpy_baseline(As, bs, lams, Lfs)
+    print(
+        json.dumps(
+            {
+                "metric": "batched_lasso_problems_per_sec",
+                "value": round(jax_pps, 3),
+                "unit": f"problems/s ({M}x{N} lasso to tol={TOL}, "
+                f"batch={BATCH}, {platform})",
+                "vs_baseline": round(jax_pps / np_pps, 3),
+            }
+        )
+    )
+    print(
+        f"# detail: jax={jax_pps:.2f} p/s mean_it={jax_iters:.0f} "
+        f"converged={frac_done:.3f} | numpy={np_pps:.2f} p/s "
+        f"mean_it={np_iters:.0f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

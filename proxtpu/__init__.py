@@ -37,6 +37,7 @@ from .prox.base import (
     prox,
     value_and_gradient,
 )
+from .utils.precision import get_matmul_precision, set_matmul_precision
 from .utils.fb_tools import (
     backtrack_stepsize,
     f_model,

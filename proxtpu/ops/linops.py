@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..prox.base import proxclass
+from ..utils.precision import pdot
 
 
 @proxclass
@@ -58,10 +59,10 @@ class MatrixOperator:
     A: object
 
     def matvec(self, x):
-        return self.A @ x
+        return pdot(self.A, x)
 
     def rmatvec(self, y):
-        return self.A.conj().T @ y
+        return pdot(self.A.conj().T, y)
 
     def opnorm(self):
         return jnp.linalg.norm(self.A, 2)

@@ -1,0 +1,48 @@
+"""Parallel execution: scenario batching, sharded operators, consensus.
+
+These are *new* capabilities relative to the reference, which has no
+parallelism of any kind (SURVEY.md §2.6).  Three orthogonal axes:
+
+* **batch** (the domain's "DP"): vmap a stacked pytree of problem instances
+  — thousands of lasso/QP solves per chip, per-lane convergence masks;
+* **sharded_ops** ("TP"): shard a huge A over mesh axes; XLA emits the
+  psum/all-gather collectives for ``A x`` / ``A^H y`` over ICI;
+* **consensus** ("PP/EP" analogue): consensus-ADMM over blocks sharded
+  across devices, coupling through one mean collective per iteration.
+"""
+
+from .batch import (
+    BatchedAlgorithm,
+    batch_problems,
+    batched_run_loop,
+    stack_iterations,
+)
+from .consensus import (
+    ConsensusADMM,
+    ConsensusADMMIteration,
+    make_consensus_admm_iteration,
+    stack_functions,
+)
+from .sharded_ops import (
+    ShardedMatrixOperator,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_matrix_operator,
+)
+
+__all__ = [
+    "BatchedAlgorithm",
+    "batch_problems",
+    "batched_run_loop",
+    "stack_iterations",
+    "ConsensusADMM",
+    "ConsensusADMMIteration",
+    "make_consensus_admm_iteration",
+    "stack_functions",
+    "ShardedMatrixOperator",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "shard_matrix_operator",
+]

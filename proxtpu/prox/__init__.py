@@ -23,6 +23,7 @@ from .functions import (
     IndNonnegative,
     IndPoint,
     LeastSquares,
+    LeastSquaresLoss,
     Linear,
     LogisticLoss,
     NormL1,
@@ -39,7 +40,7 @@ __all__ = [
     "Zero", "IndZero", "AutoDifferentiable", "convex_conjugate", "prox",
     "value_and_gradient", "proxclass", "is_convex", "is_generalized_quadratic",
     "NormL1", "NormL2", "SqrNormL2", "ElasticNet", "Linear", "IndBox",
-    "IndNonnegative", "IndPoint", "IndAffine", "LeastSquares", "Translate",
+    "IndNonnegative", "IndPoint", "IndAffine", "LeastSquares", "LeastSquaresLoss", "Translate",
     "Quadratic", "LogisticLoss", "SqrDistance", "make_least_squares",
     "make_ind_affine", "Conjugate", "SeparableSum", "SlicedSeparableSum",
     "Postcompose", "MoreauEnvelope",

@@ -27,6 +27,7 @@ from ..utils.tree import (
     tree_vdot_real,
 )
 from .base import Zero, proxclass
+from ..utils.precision import pdot
 
 
 def _rzero(x):
@@ -205,13 +206,13 @@ class IndAffine:
 
     def __call__(self, x):
         R = real_dtype_of(x)
-        feas = jnp.max(jnp.abs(self.A @ x - self.b)) <= 1e3 * jnp.finfo(R).eps
+        feas = jnp.max(jnp.abs(pdot(self.A, x) - self.b)) <= 1e3 * jnp.finfo(R).eps
         return jnp.where(feas, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
 
     def prox(self, x, gamma):
-        resid = self.A @ x - self.b
+        resid = pdot(self.A, x) - self.b
         w = jax.scipy.linalg.cho_solve((self.chol, True), resid)
-        z = x - self.A.conj().T @ w
+        z = x - pdot(self.A.conj().T, w)
         return z, _rzero(x)
 
 
@@ -246,26 +247,24 @@ class LeastSquares:
     is_generalized_quadratic = True
 
     def __call__(self, x):
-        r = self.A @ x - self.b
+        r = pdot(self.A, x) - self.b
         return self.lam / 2 * jnp.real(jnp.vdot(r, r))
 
     def value_and_gradient(self, x):
-        r = self.A @ x - self.b
+        r = pdot(self.A, x) - self.b
         val = self.lam / 2 * jnp.real(jnp.vdot(r, r))
-        return val, self.lam * (self.A.conj().T @ r)
+        return val, self.lam * pdot(self.A.conj().T, r)
 
     def prox(self, x, gamma):
         c = self.lam * gamma
         rhs = x + c * self.Atb
         if self.wide:
             # Woodbury: (I + c A^H A)^{-1} v = v - c A^H (I + c A A^H)^{-1} A v
-            w = self.A @ rhs
-            w = self.U @ ((self.U.conj().T @ w) / (1 + c * self.s)).astype(w.dtype)
-            z = rhs - c * (self.A.conj().T @ w)
+            w = pdot(self.A, rhs)
+            w = pdot(self.U, (pdot(self.U.conj().T, w) / (1 + c * self.s)).astype(w.dtype))
+            z = rhs - c * pdot(self.A.conj().T, w)
         else:
-            z = self.U @ ((self.U.conj().T @ rhs) / (1 + c * self.s)).astype(
-                rhs.dtype
-            )
+            z = pdot(self.U, (pdot(self.U.conj().T, rhs) / (1 + c * self.s)).astype(rhs.dtype))
         return z, self(z)
 
 
@@ -277,6 +276,30 @@ def make_least_squares(A, b, lam=1.0):
     gram = A @ A.conj().T if wide else A.conj().T @ A
     s, U = jnp.linalg.eigh(gram)
     return LeastSquares(A, b, lam, U, s, A.conj().T @ b, wide)
+
+
+@proxclass
+class LeastSquaresLoss:
+    """f(x) = lam/2 ||A x - b||^2 as a *smooth-only* oracle (no prox, no
+    factorization at construction) — the cheap batched form for the
+    FB-family where only ``value_and_gradient`` is needed; two MXU matvecs
+    per call, vmaps to batched matmuls."""
+
+    A: object
+    b: object
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __call__(self, x):
+        r = pdot(self.A, x) - self.b
+        return self.lam / 2 * jnp.real(jnp.vdot(r, r))
+
+    def value_and_gradient(self, x):
+        r = pdot(self.A, x) - self.b
+        val = self.lam / 2 * jnp.real(jnp.vdot(r, r))
+        return val, self.lam * pdot(self.A.conj().T, r)
 
 
 @proxclass
@@ -322,10 +345,10 @@ class Quadratic:
     is_generalized_quadratic = True
 
     def __call__(self, x):
-        return jnp.real(jnp.vdot(x, self.Q @ x)) / 2 + tree_vdot_real(self.q, x)
+        return jnp.real(jnp.vdot(x, pdot(self.Q, x))) / 2 + tree_vdot_real(self.q, x)
 
     def value_and_gradient(self, x):
-        Qx = self.Q @ x
+        Qx = pdot(self.Q, x)
         grad = Qx + self.q
         val = jnp.real(jnp.vdot(x, Qx)) / 2 + tree_vdot_real(self.q, x)
         return val, grad

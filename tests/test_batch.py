@@ -1,0 +1,75 @@
+"""Scenario batching: batched solve must equal a loop of single solves.
+
+The consistency oracle SURVEY.md §4 prescribes for the TPU build: per-lane
+solutions and iteration counts from ``batched_run_loop`` match the
+single-problem driver exactly (converged lanes freeze).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import proxtpu as pa
+from proxtpu.algorithms import (
+    make_fast_forward_backward_iteration,
+    make_forward_backward_iteration,
+    make_panoc_iteration,
+)
+from proxtpu.parallel import batch_problems, batched_run_loop
+from proxtpu.prox import NormL1, make_least_squares
+
+TOL = 1e-6
+
+
+def random_lasso(k, m=8, n=12, dtype=jnp.float64):
+    rng = np.random.default_rng(k)
+    A = jnp.asarray(rng.standard_normal((m, n)), dtype)
+    b = jnp.asarray(rng.standard_normal(m), dtype)
+    lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    return dict(
+        x0=jnp.zeros(n, dtype), f=make_least_squares(A, b), g=NormL1(lam),
+        Lf=Lf,
+    )
+
+
+@pytest.mark.parametrize(
+    "factory,solver_name",
+    [
+        (make_forward_backward_iteration, "ForwardBackward"),
+        (make_fast_forward_backward_iteration, "FastForwardBackward"),
+        (make_panoc_iteration, "PANOC"),
+    ],
+)
+def test_batched_matches_loop(factory, solver_name):
+    problems = [random_lasso(k) for k in range(6)]
+    iteration = batch_problems(factory, problems)
+    xs, iters, done = batched_run_loop(iteration, 2000, TOL)
+    assert bool(jnp.all(done))
+
+    solver = getattr(pa, solver_name)(tol=TOL, maxit=2000)
+    for i, kw in enumerate(problems):
+        x, it = solver(**kw)
+        assert it == int(iters[i])
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-12
+        )
+
+
+def test_batched_per_lane_counts_differ():
+    # different conditioning -> different convergence speed per lane
+    problems = [random_lasso(k, m=6 + k, n=10) for k in range(4)]
+    # pad to equal shapes not possible here: use same shapes, different data
+    problems = [random_lasso(k) for k in range(4)]
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+    xs, iters, done = batched_run_loop(iteration, 2000, TOL)
+    assert len(set(int(i) for i in iters)) > 1
+
+
+def test_batched_maxit_cap():
+    problems = [random_lasso(k) for k in range(3)]
+    iteration = batch_problems(make_forward_backward_iteration, problems)
+    xs, iters, done = batched_run_loop(iteration, 5, TOL)
+    assert not bool(jnp.any(done))
+    assert all(int(i) == 5 for i in iters)

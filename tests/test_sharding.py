@@ -1,0 +1,124 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh.
+
+The standard "multi-chip without a pod" fake (SURVEY.md §4): sharded-operator
+solves and consensus splitting must produce the same solutions as their
+single-device counterparts, with data actually distributed across devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import proxtpu as pa
+from proxtpu.parallel import (
+    ConsensusADMM,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_matrix_operator,
+    stack_functions,
+)
+from proxtpu.parallel.batch import batch_problems, batched_run_loop
+from proxtpu.prox import NormL1, SqrNormL2, make_least_squares
+
+TOL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh((8,), ("tp",))
+
+
+def big_lasso(seed=0, m=64, n=48):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+    lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    return A, b, lam, Lf
+
+
+def test_sharded_operator_matvecs(mesh):
+    A, b, lam, Lf = big_lasso()
+    op = shard_matrix_operator(A, mesh, row_axis="tp")
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(A.shape[1]))
+    y = jnp.asarray(np.random.default_rng(2).standard_normal(A.shape[0]))
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), np.asarray(A @ x))
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)), np.asarray(A.T @ y))
+    # A is actually distributed: each device holds a 1/8 stripe
+    assert len(op.A.sharding.device_set) == 8
+
+
+def test_sharded_panoc_matches_dense(mesh):
+    A, b, lam, Lf = big_lasso()
+    f = SqrNormL2(1.0)
+    # f(Ax - b) composed via Translate on the operator output
+    from proxtpu.prox import Translate
+
+    fo = Translate(SqrNormL2(1.0), -replicate(b, mesh))
+    g = NormL1(lam)
+    x0 = replicate(jnp.zeros(A.shape[1]), mesh)
+
+    op = shard_matrix_operator(A, mesh, row_axis="tp")
+    solver = pa.PANOC(tol=TOL)
+    x_sharded, it_sharded = solver(x0=x0, f=fo, A=op, g=g, Lf=Lf)
+
+    x_dense, it_dense = pa.PANOC(tol=TOL)(
+        x0=jnp.zeros(A.shape[1]), f=Translate(SqrNormL2(1.0), -b), A=A, g=g,
+        Lf=Lf,
+    )
+    assert it_sharded == it_dense
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_dense), atol=1e-10
+    )
+
+
+def test_consensus_admm_solves_blockwise_least_squares(mesh):
+    # sum_i ||A_i x - b_i||^2/2 + lam ||x||_1 over 8 row-blocks == full lasso
+    A, b, lam, Lf = big_lasso(m=64, n=16)
+    B = 8
+    blocks = [
+        make_least_squares(A[i * 8 : (i + 1) * 8], b[i * 8 : (i + 1) * 8])
+        for i in range(B)
+    ]
+    fs = stack_functions(blocks)
+    fs = shard_batch(fs, mesh, "tp")
+    solver = ConsensusADMM(tol=1e-7, maxit=20_000)
+    x, it = solver(x0=jnp.zeros(16), fs=fs, g=NormL1(lam), gamma=1.0)
+
+    x_ref, _ = pa.FastForwardBackward(tol=1e-10)(
+        x0=jnp.zeros(16), f=make_least_squares(A, b), g=NormL1(lam), Lf=Lf
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+
+
+def test_dp_sharded_batch_solve(mesh):
+    # scenario batch sharded across devices: same answers as unsharded batch
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+
+    problems = []
+    for k in range(16):
+        rng = np.random.default_rng(k)
+        A = jnp.asarray(rng.standard_normal((8, 12)))
+        b = jnp.asarray(rng.standard_normal(8))
+        lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+        problems.append(
+            dict(
+                x0=jnp.zeros(12), f=make_least_squares(A, b), g=NormL1(lam),
+                Lf=float(np.linalg.norm(np.asarray(A), 2) ** 2),
+            )
+        )
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+    xs_plain, iters_plain, _ = batched_run_loop(iteration, 2000, TOL)
+
+    iteration_sharded = shard_batch(iteration, mesh, "tp")
+    xs_shard, iters_shard, _ = batched_run_loop(iteration_sharded, 2000, TOL)
+    np.testing.assert_allclose(
+        np.asarray(xs_shard), np.asarray(xs_plain), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(iters_shard), np.asarray(iters_plain)
+    )

@@ -33,7 +33,7 @@ DTYPE = np.float32
 
 def gen_problems(batch):
     rng = np.random.default_rng(0)
-    As = rng.standard_normal((batch, M, N)).astype(DTYPE) / np.sqrt(M)
+    As = (rng.standard_normal((batch, M, N)) / np.sqrt(M)).astype(DTYPE)
     bs = rng.standard_normal((batch, M)).astype(DTYPE)
     lams = 0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1)
     Lfs = np.array(
@@ -75,33 +75,31 @@ def run_numpy_baseline(As, bs, lams, Lfs):
 
 
 def run_jax(As, bs, lams, Lfs):
+    """Measure the fused-Pallas-kernel batched FISTA solver (the production
+    fast path; see proxtpu/kernels/lasso.py).  On non-TPU platforms the
+    kernel runs in interpreter mode, so fall back to the XLA step there."""
     import jax
     import jax.numpy as jnp
 
-    from proxtpu.algorithms.fast_forward_backward import (
-        make_fast_forward_backward_iteration,
-    )
-    from proxtpu.parallel.batch import batched_run_loop
-    from proxtpu.prox import LeastSquaresLoss, NormL1
+    from proxtpu.kernels.lasso import solve_lasso_batch
 
     platform = jax.devices()[0].platform
-
-    iteration = jax.vmap(
-        lambda A, b, lam, Lf: make_fast_forward_backward_iteration(
-            x0=jnp.zeros(N, DTYPE),
-            f=LeastSquaresLoss(A, b),
-            g=NormL1(lam),
-            gamma=1.0 / Lf,
-        )
-    )(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(lams), jnp.asarray(Lfs))
+    use_kernel = platform == "tpu"
+    A = jnp.asarray(As)
+    b = jnp.asarray(bs)
+    lam = jnp.asarray(lams)
+    Lf = jnp.asarray(Lfs)
 
     def solve():
-        xs, iters, done = batched_run_loop(iteration, MAXIT, TOL)
-        jax.block_until_ready((xs, iters, done))
-        return xs, iters, done
+        xs, iters, done = solve_lasso_batch(
+            A, b, lam, Lf, TOL, maxit=MAXIT, use_kernel=use_kernel
+        )
+        # NOTE: jax.block_until_ready does NOT actually block on the axon
+        # backend; a host transfer is the only reliable completion fence.
+        return np.asarray(xs), np.asarray(iters), np.asarray(done)
 
     xs, iters, done = solve()  # compile + warm
-    n_runs = 2
+    n_runs = 3
     t0 = time.perf_counter()
     for _ in range(n_runs):
         xs, iters, done = solve()

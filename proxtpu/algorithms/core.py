@@ -50,14 +50,20 @@ def _default_display(k, iteration, state):
     jax.jit,
     static_argnames=("stop", "solution", "verbose", "freq", "display"),
 )
-def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display):
+def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
+             initial_state=None):
     """Run an iteration to convergence; returns (solution, iteration_count).
 
     Matches the reference loop semantics: the initial state counts as
     iteration 1, and the loop exits as soon as ``k >= maxit`` or the stopping
     criterion holds at state k.
+
+    ``initial_state`` resumes from a previously captured state pytree
+    (checkpoint/resume — the reference has none, SURVEY.md §5, but its
+    all-state-in-one-struct design makes it natural; here the state is a
+    pytree, so it round-trips through orbax/pickle for free).
     """
-    state = iteration.init()
+    state = iteration.init() if initial_state is None else initial_state
 
     def cond(carry):
         k, s = carry
@@ -117,8 +123,11 @@ class IterativeAlgorithm:
         merged = {**self.kwargs, **kwargs}
         return self.iteration_factory(**merged)
 
-    def run(self, **kwargs):
-        """Jittable run: returns (solution, iteration count) as arrays."""
+    def run(self, resume_from=None, **kwargs):
+        """Jittable run: returns (solution, iteration count) as arrays.
+
+        ``resume_from`` continues from a captured state pytree (obtain one
+        via :func:`states`, or checkpoint the carry with orbax/pickle)."""
         iteration = self.make_iteration(**kwargs)
         return run_loop(
             iteration,
@@ -129,10 +138,11 @@ class IterativeAlgorithm:
             self.verbose,
             self.freq,
             self.display,
+            initial_state=resume_from,
         )
 
-    def __call__(self, **kwargs):
-        sol, k = self.run(**kwargs)
+    def __call__(self, resume_from=None, **kwargs):
+        sol, k = self.run(resume_from=resume_from, **kwargs)
         return sol, int(k)
 
 

@@ -30,6 +30,13 @@ from .base import Zero, proxclass
 from ..utils.precision import pdot
 
 
+
+def _rparam(p, x):
+    """Cast a scalar parameter to the iterate's real dtype (keeps the
+    dtype-preservation contract even when a Python-float default became an
+    f64 leaf under vmap/x64)."""
+    return jnp.asarray(p, real_dtype_of(x))
+
 def _rzero(x):
     return jnp.zeros((), real_dtype_of(x))
 
@@ -52,10 +59,12 @@ class NormL1:
 
     def __call__(self, x):
         leaves = jax.tree.leaves(x)
-        return self.lam * sum(jnp.sum(jnp.abs(l)) for l in leaves)
+        lam = _rparam(self.lam, x)
+        return lam * sum(jnp.sum(jnp.abs(l)) for l in leaves)
 
     def prox(self, x, gamma):
-        z = tree_map(lambda l: _soft_threshold(l, gamma * self.lam), x)
+        lam = _rparam(self.lam, x)
+        z = tree_map(lambda l: _soft_threshold(l, gamma * lam), x)
         return z, self(z)
 
 
@@ -71,13 +80,14 @@ class NormL2:
     def __call__(self, x):
         from ..utils.tree import tree_norm
 
-        return self.lam * tree_norm(x)
+        return _rparam(self.lam, x) * tree_norm(x)
 
     def prox(self, x, gamma):
         from ..utils.tree import tree_norm
 
         nrm = tree_norm(x)
-        scale = jnp.maximum(1 - gamma * self.lam / jnp.where(nrm == 0, 1, nrm), 0)
+        lam = _rparam(self.lam, x)
+        scale = jnp.maximum(1 - gamma * lam / jnp.where(nrm == 0, 1, nrm), 0)
         z = tree_scale(scale, x)
         return z, self(z)
 
@@ -92,13 +102,13 @@ class SqrNormL2:
     is_generalized_quadratic = True
 
     def __call__(self, x):
-        return self.lam / 2 * tree_vdot_real(x, x)
+        return _rparam(self.lam, x) / 2 * tree_vdot_real(x, x)
 
     def value_and_gradient(self, x):
-        return self(x), tree_scale(self.lam, x)
+        return self(x), tree_scale(_rparam(self.lam, x), x)
 
     def prox(self, x, gamma):
-        z = tree_scale(1 / (1 + gamma * self.lam), x)
+        z = tree_scale(1 / (1 + gamma * _rparam(self.lam, x)), x)
         return z, self(z)
 
 
@@ -114,11 +124,13 @@ class ElasticNet:
 
     def __call__(self, x):
         l1 = sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(x))
-        return self.mu * l1 + self.lam / 2 * tree_vdot_real(x, x)
+        mu, lam = _rparam(self.mu, x), _rparam(self.lam, x)
+        return mu * l1 + lam / 2 * tree_vdot_real(x, x)
 
     def prox(self, x, gamma):
+        mu, lam = _rparam(self.mu, x), _rparam(self.lam, x)
         z = tree_map(
-            lambda l: _soft_threshold(l, gamma * self.mu) / (1 + gamma * self.lam),
+            lambda l: _soft_threshold(l, gamma * mu) / (1 + gamma * lam),
             x,
         )
         return z, self(z)
@@ -248,15 +260,16 @@ class LeastSquares:
 
     def __call__(self, x):
         r = pdot(self.A, x) - self.b
-        return self.lam / 2 * jnp.real(jnp.vdot(r, r))
+        return _rparam(self.lam, x) / 2 * jnp.real(jnp.vdot(r, r))
 
     def value_and_gradient(self, x):
         r = pdot(self.A, x) - self.b
-        val = self.lam / 2 * jnp.real(jnp.vdot(r, r))
-        return val, self.lam * pdot(self.A.conj().T, r)
+        lam = _rparam(self.lam, x)
+        val = lam / 2 * jnp.real(jnp.vdot(r, r))
+        return val, lam * pdot(self.A.conj().T, r)
 
     def prox(self, x, gamma):
-        c = self.lam * gamma
+        c = _rparam(self.lam, x) * gamma
         rhs = x + c * self.Atb
         if self.wide:
             # Woodbury: (I + c A^H A)^{-1} v = v - c A^H (I + c A A^H)^{-1} A v
@@ -294,12 +307,13 @@ class LeastSquaresLoss:
 
     def __call__(self, x):
         r = pdot(self.A, x) - self.b
-        return self.lam / 2 * jnp.real(jnp.vdot(r, r))
+        return _rparam(self.lam, x) / 2 * jnp.real(jnp.vdot(r, r))
 
     def value_and_gradient(self, x):
         r = pdot(self.A, x) - self.b
-        val = self.lam / 2 * jnp.real(jnp.vdot(r, r))
-        return val, self.lam * pdot(self.A.conj().T, r)
+        lam = _rparam(self.lam, x)
+        val = lam / 2 * jnp.real(jnp.vdot(r, r))
+        return val, lam * pdot(self.A.conj().T, r)
 
 
 @proxclass
@@ -368,13 +382,15 @@ class LogisticLoss:
     is_generalized_quadratic = False
 
     def __call__(self, u):
-        return self.scale * sum(
+        scale = _rparam(self.scale, u)
+        return scale * sum(
             jnp.sum(jax.nn.softplus(-l)) for l in jax.tree.leaves(u)
         )
 
     def value_and_gradient(self, u):
         val = self(u)
-        grad = tree_map(lambda l: self.scale * (jax.nn.sigmoid(l) - 1), u)
+        scale = _rparam(self.scale, u)
+        grad = tree_map(lambda l: scale * (jax.nn.sigmoid(l) - 1), u)
         return val, grad
 
 

@@ -1,0 +1,89 @@
+"""Pallas fused-kernel correctness (interpret mode on the CPU mesh).
+
+The fused batched lasso FB step must match the pure-XLA reference math
+elementwise, and the kernel-driven solver must reproduce the generic
+batched driver's per-lane iteration counts exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from proxtpu.kernels.lasso import (
+    fused_fb_prox_grad,
+    reference_fb_prox_grad,
+    solve_lasso_batch,
+)
+
+B, M, N = 5, 16, 24
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    A = jnp.asarray((rng.standard_normal((B, M, N)) / np.sqrt(M)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1),
+        jnp.float32,
+    )
+    Lf = jnp.asarray(
+        [np.linalg.norm(np.asarray(A[i]), 2) ** 2 for i in range(B)], jnp.float32
+    )
+    return A, b, lam, Lf
+
+
+def test_fused_step_matches_reference(data):
+    A, b, lam, Lf = data
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+    gamma = (1.0 / Lf).astype(jnp.float32)
+    thr = gamma * lam
+    z_k, r_k = fused_fb_prox_grad(A, b, x, gamma, thr, interpret=True)
+    z_r, r_r = reference_fb_prox_grad(A, b, x, gamma, thr)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_r), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_r), atol=5e-6)
+
+
+def test_kernel_solver_matches_xla_solver(data):
+    A, b, lam, Lf = data
+    z1, it1, d1 = solve_lasso_batch(
+        A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=True, interpret=True
+    )
+    z2, it2, d2 = solve_lasso_batch(
+        A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=False
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d2))
+    # kernel and XLA reference round differently in the last f32 bit, which
+    # can move a lane across the stopping threshold by one iteration
+    assert int(np.max(np.abs(np.asarray(it1) - np.asarray(it2)))) <= 1
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
+
+
+def test_kernel_solver_matches_generic_driver(data):
+    """The specialized kernel solver must agree with the generic
+    batched_run_loop + FISTA path on solutions (same math, same stopping)."""
+    from proxtpu.algorithms.fast_forward_backward import (
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.parallel.batch import batched_run_loop
+    from proxtpu.prox import LeastSquaresLoss, NormL1
+
+    A, b, lam, Lf = data
+    iteration = jax.vmap(
+        lambda Ai, bi, li, Li: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N, jnp.float32),
+            f=LeastSquaresLoss(Ai, bi),
+            g=NormL1(li),
+            gamma=1.0 / Li,
+        )
+    )(A, b, lam, Lf)
+    xs, iters, done = batched_run_loop(iteration, 3000, 1e-5)
+
+    z, it, d = solve_lasso_batch(
+        A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=True, interpret=True
+    )
+    assert bool(jnp.all(d))
+    # same fixed point to f32 solver tolerance
+    np.testing.assert_allclose(np.asarray(z), np.asarray(xs), atol=1e-4)

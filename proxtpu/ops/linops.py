@@ -132,6 +132,8 @@ def as_linop(A):
     """Coerce None / arrays / operators to the operator protocol."""
     if A is None:
         return IdentityOperator()
+    if hasattr(A, "matvec"):  # already an operator (may also carry .shape)
+        return A
     if isinstance(A, (jnp.ndarray, jax.Array)) or hasattr(A, "shape"):
         return MatrixOperator(jnp.asarray(A))
     return A

@@ -92,6 +92,32 @@ class NormL2:
         return z, self(z)
 
 
+@proxclass(meta_fields=("axis",))
+class NormL21:
+    """f(Y) = lam * sum_j ||Y[:, j]||_2 — the isotropic group l2,1 norm over
+    ``axis`` (group soft-thresholding prox).  The TV-denoising regularizer:
+    with Y the (2, H, W) forward-difference field of
+    :class:`~proxtpu.ops.linops.Grad2DOperator`, ``NormL21(lam, axis=0)`` is
+    isotropic total variation."""
+
+    lam: object = 1.0
+    axis: int = 0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, Y):
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=self.axis))
+        return _rparam(self.lam, Y) * jnp.sum(nrm)
+
+    def prox(self, Y, gamma):
+        lam = _rparam(self.lam, Y)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=self.axis, keepdims=True))
+        scale = jnp.maximum(1 - gamma * lam / jnp.where(nrm == 0, 1, nrm), 0)
+        Z = Y * scale.astype(Y.dtype)
+        return Z, self(Z)
+
+
 @proxclass
 class SqrNormL2:
     """f(x) = lam/2 * ||x||^2 — both smooth and proxable."""

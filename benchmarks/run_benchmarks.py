@@ -1,0 +1,133 @@
+"""Port of the reference benchmark suite (``benchmark/benchmarks.jl``).
+
+Same workloads (the three lasso instances shipped as ``.jld2``/HDF5 in the
+reference repo, read directly — A transposed back from Julia column-major),
+same 10 solver configurations, same tolerances (1e-6; SFISTA at 1e-3).
+
+Usage:  python benchmarks/run_benchmarks.py [--dtype float32] [--repeat 5]
+
+Prints one JSON line per (workload, solver) with the min wall time over
+``repeat`` runs (compile excluded, host-transfer fenced — see BASELINE.md on
+why ``block_until_ready`` cannot be trusted on the axon backend).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = "/root/reference/benchmark/data"
+WORKLOADS = [
+    ("lasso_tiny", "lasso_tiny.jld2"),
+    ("lasso_small", "lasso_small.jld2"),
+    ("lasso_medium", "lasso_medium.jld2"),
+]
+
+
+def load_workload(file_name):
+    import h5py
+
+    with h5py.File(os.path.join(DATA_DIR, file_name), "r") as f:
+        A = np.asarray(f["A"]).T  # Julia column-major -> (m, n)
+        b = np.asarray(f["b"])
+        lam = float(np.asarray(f["lambda"]))
+    return A, b, lam
+
+
+def solver_configs(A, b, lam, dtype):
+    """The 10 configs of ``benchmark/benchmarks.jl:47-134``."""
+    import jax.numpy as jnp
+
+    import proxtpu as pa
+    from proxtpu.prox import (
+        NormL1,
+        SqrDistance,
+        SqrNormL2,
+        Translate,
+        make_least_squares,
+    )
+
+    Aj = jnp.asarray(A.astype(dtype))
+    bj = jnp.asarray(b.astype(dtype))
+    m, n = A.shape
+    x0 = jnp.zeros(n, dtype)
+    g = NormL1(lam)
+    fls = make_least_squares(Aj, bj)
+    fsd = SqrDistance(bj)
+    opn2 = float(np.linalg.norm(A, 2) ** 2)
+
+    return {
+        "ForwardBackward": (pa.ForwardBackward(tol=1e-6),
+                            dict(x0=x0, f=fls, g=g)),
+        "FastForwardBackward": (pa.FastForwardBackward(tol=1e-6),
+                                dict(x0=x0, f=fls, g=g)),
+        "ZeroFPR": (pa.ZeroFPR(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "PANOC": (pa.PANOC(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "PANOCplus": (pa.PANOCplus(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "DouglasRachford": (pa.DouglasRachford(tol=1e-6),
+                            dict(x0=x0, f=fls, g=g, gamma=1.0)),
+        "DRLS": (pa.DRLS(tol=1e-6), dict(x0=x0, f=fls, g=g, Lf=opn2)),
+        "AFBA-1": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6),
+                   dict(x0=x0, y0=jnp.zeros(n, dtype), f=fls, g=g,
+                        beta_f=opn2)),
+        "AFBA-2": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6),
+                   dict(x0=x0, y0=jnp.zeros(m, dtype),
+                        h=Translate(SqrNormL2(1.0), -bj), L=Aj, g=g)),
+        "SFISTA": (pa.SFISTA(tol=1e-3), dict(x0=x0, f=fls, g=g, Lf=opn2)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--workloads", default="all")
+    ap.add_argument("--platform", default=None,
+                    help="cpu|tpu (the JAX_PLATFORMS env var is overridden "
+                    "by the axon plugin; this sets jax.config instead)")
+    args = ap.parse_args()
+    dtype = np.dtype(args.dtype)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
+    platform = jax.devices()[0].platform
+
+    results = []
+    for wname, fname in WORKLOADS:
+        if args.workloads != "all" and wname not in args.workloads:
+            continue
+        A, b, lam = load_workload(fname)
+        configs = solver_configs(A, b, lam, dtype)
+        for sname, (solver, kwargs) in configs.items():
+            sol, it = solver(**kwargs)  # compile + warm
+            _ = np.asarray(jax.tree.leaves(sol)[0])
+            times = []
+            for _i in range(args.repeat):
+                t0 = time.perf_counter()
+                sol, it = solver(**kwargs)
+                _ = np.asarray(jax.tree.leaves(sol)[0])
+                times.append(time.perf_counter() - t0)
+            rec = {
+                "workload": wname,
+                "solver": sname,
+                "min_ms": round(min(times) * 1e3, 3),
+                "iters": int(it),
+                "platform": platform,
+                "dtype": str(dtype),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,13 @@ def make_li_lin_iteration(
         if Lf is None:
             raise ValueError("You must specify either Lf or gamma")
         gamma = 1 / jnp.asarray(Lf, R)
+    try:
+        # feasible-start assert (``li_lin.jl:77``); skipped under tracing
+        F0 = float(f(x0) + g(x0))
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError, TypeError):
+        F0 = 0.0
+    if not jnp.isfinite(F0):
+        raise ValueError("initial point must be feasible")
     return LiLinIteration(
         f=f, g=g, x0=x0, gamma=rscalar(gamma, R),
         delta=rscalar(delta, R), eta=rscalar(eta, R),

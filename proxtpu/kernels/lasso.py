@@ -31,23 +31,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fb_step_kernel(A_ref, b_ref, x_ref, gamma_ref, thr_ref, z_ref, res_ref):
-    A = A_ref[0]          # (M, N) in VMEM
-    x = x_ref[0]          # (1, N)
-    b = b_ref[0]          # (M, 1)
-    gamma = gamma_ref[0, 0, 0]
-    thr = thr_ref[0, 0, 0]
+    # L lanes per grid step amortize the fixed per-step cost (grid overhead
+    # and pipeline bubbles) over L problems; the per-lane body is 2-D (the
+    # layout Mosaic handles best), unrolled statically over the L dim
+    L = A_ref.shape[0]
+    for l in range(L):
+        A = A_ref[l]          # (M, N) in VMEM
+        x = x_ref[l]          # (1, N)
+        b = b_ref[l]          # (M, 1)
+        gamma = gamma_ref[l, 0, 0]
+        thr = thr_ref[l, 0, 0]
 
-    r = jnp.sum(A * x, axis=1, keepdims=True) - b          # (M, 1) lane-reduce
-    grad = jnp.sum(A * r, axis=0, keepdims=True)           # (1, N) sublane-reduce
-    y = x - gamma * grad
-    absy = jnp.abs(y)
-    z = jnp.sign(y) * jnp.maximum(absy - thr, 0.0)
-    z_ref[0] = z
-    res_ref[0, 0, 0] = jnp.max(jnp.abs(x - z))
+        r = jnp.sum(A * x, axis=1, keepdims=True) - b      # (M, 1) lane-reduce
+        grad = jnp.sum(A * r, axis=0, keepdims=True)       # (1, N) sublane-reduce
+        y = x - gamma * grad
+        absy = jnp.abs(y)
+        z = jnp.sign(y) * jnp.maximum(absy - thr, 0.0)
+        z_ref[l] = z
+        res_ref[l] = jnp.max(jnp.abs(x - z)).reshape(1, 1)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "lanes"))
+def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
     """One fused FB step for a batch of lasso problems.
 
     Args:
@@ -57,40 +62,51 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False):
       gamma: (B,) per-lane stepsizes.
       thr: (B,) per-lane soft-threshold levels (gamma * lam).
       interpret: run in interpreter mode (for CPU tests).
+      lanes: problems per grid step (amortizes per-step overhead; VMEM use
+        is ~2 * lanes * M * N * 4 bytes with double buffering).  Default:
+        largest of {8, 4, 2, 1} that divides B and fits ~8 MB.
 
     Returns:
       z: (B, N) prox points; res_inf: (B,) ||x - z||_inf per lane.
     """
     B, M, N = A.shape
     dtype = A.dtype
+    if lanes is None:
+        budget = 4 * 1024 * 1024  # half of VMEM at double buffering
+        lanes = 1
+        for cand in (8, 4, 2):
+            if B % cand == 0 and cand * M * N * dtype.itemsize <= budget:
+                lanes = cand
+                break
+    L = lanes
     b3 = b.reshape(B, M, 1)
     # TPU lowering requires the last two block dims to divide (8, 128) or
-    # equal the array dims — so vectors ride as (B, 1, N) with (1, 1, N)
-    # blocks rather than (B, N) with (1, N) blocks.
+    # equal the array dims — so vectors ride as (B, 1, N) with (L, 1, N)
+    # blocks rather than (B, N) with (L, N) blocks.
     x3 = x.reshape(B, 1, N)
     gamma2 = gamma.reshape(B, 1, 1).astype(dtype)
     thr2 = thr.reshape(B, 1, 1).astype(dtype)
 
     z, res = pl.pallas_call(
         _fb_step_kernel,
-        grid=(B,),
+        grid=(B // L,),
         in_specs=[
-            pl.BlockSpec((1, M, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, M, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, M, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, 1, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, 1, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, N), dtype),

@@ -17,6 +17,7 @@ from .batch import (
     batched_run_loop,
     stack_iterations,
 )
+from .distributed import global_mesh, initialize_distributed
 from .consensus import (
     ConsensusADMM,
     ConsensusADMMIteration,
@@ -45,4 +46,6 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_matrix_operator",
+    "global_mesh",
+    "initialize_distributed",
 ]

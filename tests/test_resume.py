@@ -44,6 +44,28 @@ def test_resume_reaches_same_solution():
     assert it_res <= it_full - 40
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from proxtpu.utils.checkpoint import load_state, save_state
+
+    fA, g, Lf = setup()
+    solver = pa.FastForwardBackward(tol=1e-8)
+    iteration = solver.make_iteration(
+        x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf
+    )
+    snapshot = None
+    for s in states(iteration, max_states=30):
+        snapshot = s
+    path = str(tmp_path / "ckpt")
+    save_state(path, snapshot)
+    restored = load_state(path, like=iteration.init())
+    x1, it1 = solver(resume_from=snapshot, x0=jnp.zeros(5, jnp.float64),
+                     f=fA, g=g, Lf=Lf)
+    x2, it2 = solver(resume_from=restored, x0=jnp.zeros(5, jnp.float64),
+                     f=fA, g=g, Lf=Lf)
+    assert it1 == it2
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=0)
+
+
 def test_state_pickle_roundtrip():
     fA, g, Lf = setup()
     solver = pa.FastForwardBackward(tol=1e-8)

@@ -171,8 +171,8 @@ def solve_lasso_batch(
     )
 
     def cond(c):
-        k, *_, done, _iters = c[0], c[4], c[5]
-        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+        k, done = c[0], c[4]
+        return (k < maxit) & jnp.logical_not(jnp.all(done))
 
     def body(c):
         k, x, z_prev, t, done, iters = c

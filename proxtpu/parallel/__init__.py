@@ -15,6 +15,7 @@ from .batch import (
     BatchedAlgorithm,
     batch_problems,
     batched_run_loop,
+    compacting_batched_run,
     stack_iterations,
 )
 from .distributed import global_mesh, initialize_distributed
@@ -36,6 +37,7 @@ __all__ = [
     "BatchedAlgorithm",
     "batch_problems",
     "batched_run_loop",
+    "compacting_batched_run",
     "stack_iterations",
     "ConsensusADMM",
     "ConsensusADMMIteration",

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def stack_iterations(iterations):
@@ -78,6 +79,126 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
     )
     iters = jnp.where(done, iters, k)
     return jax.vmap(lambda it, s: solution(it, s))(iteration, state), iters, done
+
+
+@partial(jax.jit, static_argnames=("stop",))
+def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol, stop):
+    """Advance a batch up to ``chunk`` iterations (or all-done/maxit)."""
+    vstep = jax.vmap(lambda it, s: it.step(s))
+    vstop = jax.vmap(lambda it, s: stop(it, tol, s))
+
+    def cond(carry):
+        k, s, done, iters = carry
+        return (
+            (k < k0 + chunk)
+            & (k < maxit)
+            & jnp.logical_not(jnp.all(done))
+        )
+
+    def body(carry):
+        k, s, done, iters = carry
+        s_new = vstep(iteration, s)
+        s = _freeze(done, s, s_new)
+        k = k + 1
+        newly_done = vstop(iteration, s)
+        iters = jnp.where(done, iters, k)
+        return (k, s, done | newly_done, iters)
+
+    k, state, done, iters = jax.lax.while_loop(
+        cond, body, (k0, state, done, iters)
+    )
+    iters = jnp.where(done, iters, k)
+    return k, state, done, iters
+
+
+def _bucket(n, min_batch):
+    b = max(min_batch, 1)
+    while b < n:
+        b *= 2
+    return b
+
+
+def compacting_batched_run(
+    iteration, maxit, tol, stop=None, solution=None, chunk=256, min_batch=8
+):
+    """Batched run with lane compaction: after every ``chunk`` iterations,
+    converged lanes are retired and the remaining lanes are gathered into a
+    smaller (power-of-two-padded) batch, so a heavy convergence tail runs on
+    a shrinking problem set instead of dragging the whole batch.
+
+    Semantically identical to :func:`batched_run_loop` (per-lane solutions
+    and iteration counts match exactly); each distinct bucket size compiles
+    the chunk loop once.  One host sync per chunk.
+    """
+    if stop is None:
+        stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
+    if solution is None:
+        solution = lambda it, s: it.default_solution(s)
+    vsol = jax.jit(jax.vmap(lambda it, s: solution(it, s)))
+
+    state = jax.jit(jax.vmap(lambda it: it.init()))(iteration)
+    done = jax.jit(jax.vmap(lambda it, s: stop(it, tol, s)))(iteration, state)
+    B = done.shape[0]
+
+    out_solution = None  # allocated from the first retired batch
+    out_iters = np.zeros(B, np.int32)
+    out_done = np.zeros(B, bool)
+    lane_ids = np.arange(B)
+    iters = jnp.ones(done.shape, jnp.int32)
+    k0 = jnp.asarray(1, jnp.int32)
+
+    active_iter, active_state = iteration, state
+    while True:
+        k0, active_state, done, iters = _chunk_loop(
+            active_iter, active_state, k0, done, iters, chunk, maxit, tol,
+            stop,
+        )
+        done_h = np.asarray(done)
+        k_h = int(k0)
+        finished = done_h | (k_h >= maxit)
+        if finished.any():
+            sols = vsol(active_iter, active_state)
+            sols_h = jax.tree.map(np.asarray, sols)
+            iters_h = np.asarray(iters)
+            if out_solution is None:
+                out_solution = jax.tree.map(
+                    lambda l: np.zeros((B,) + l.shape[1:], l.dtype), sols_h
+                )
+            sel = np.nonzero(finished & (lane_ids >= 0))[0]
+            ids = lane_ids[sel]
+            out_solution = jax.tree.map(
+                lambda o, l: (o.__setitem__(ids, l[sel]), o)[1],
+                out_solution, sols_h,
+            )
+            out_iters[ids] = iters_h[sel]
+            out_done[ids] = done_h[sel]
+        live = np.nonzero(~finished)[0]
+        if live.size == 0 or k_h >= maxit:
+            break
+        bucket = _bucket(live.size, min_batch)
+        # pad by repeating the first live lane; padded lanes are marked done
+        # so they freeze immediately and are never written back
+        pad = np.concatenate([live, np.full(bucket - live.size, live[0])])
+        take = lambda l: l[pad]
+        active_iter = jax.tree.map(take, active_iter)
+        active_state = jax.tree.map(take, active_state)
+        iters = iters[pad]
+        done = jnp.asarray(
+            np.concatenate(
+                [np.zeros(live.size, bool), np.ones(bucket - live.size, bool)]
+            )
+        )
+        # padding slots get a sentinel id so their stale copies are never
+        # written back over the real lane's result
+        lane_ids = np.concatenate(
+            [lane_ids[live], np.full(bucket - live.size, -1)]
+        )
+
+    return (
+        jax.tree.map(jnp.asarray, out_solution),
+        jnp.asarray(out_iters),
+        jnp.asarray(out_done),
+    )
 
 
 class BatchedAlgorithm:

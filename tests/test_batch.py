@@ -16,7 +16,11 @@ from proxtpu.algorithms import (
     make_forward_backward_iteration,
     make_panoc_iteration,
 )
-from proxtpu.parallel import batch_problems, batched_run_loop
+from proxtpu.parallel import (
+    batch_problems,
+    batched_run_loop,
+    compacting_batched_run,
+)
 from proxtpu.prox import NormL1, make_least_squares
 
 TOL = 1e-6
@@ -73,3 +77,19 @@ def test_batched_maxit_cap():
     xs, iters, done = batched_run_loop(iteration, 5, TOL)
     assert not bool(jnp.any(done))
     assert all(int(i) == 5 for i in iters)
+
+
+@pytest.mark.parametrize("maxit,chunk", [(2000, 100), (50, 20)])
+def test_compacting_run_matches_plain(maxit, chunk):
+    """Lane compaction is an optimization only: per-lane solutions, iteration
+    counts and done flags must match batched_run_loop exactly, including the
+    maxit-capped case."""
+    problems = [random_lasso(k) for k in range(12)]
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+    xs1, i1, d1 = batched_run_loop(iteration, maxit, TOL)
+    xs2, i2, d2 = compacting_batched_run(
+        iteration, maxit, TOL, chunk=chunk, min_batch=4
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_allclose(np.asarray(xs1), np.asarray(xs2), atol=0)

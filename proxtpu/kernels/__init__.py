@@ -1,0 +1,10 @@
+"""Fused Pallas TPU kernels for the hot inner steps (optional — every
+solver also runs pure-XLA; kernels have interpret mode for CPU tests)."""
+
+from .box_qp import fused_pg_box_step, reference_pg_box_step, solve_box_qp_batch
+from .lasso import fused_fb_prox_grad, reference_fb_prox_grad, solve_lasso_batch
+
+__all__ = [
+    "fused_fb_prox_grad", "reference_fb_prox_grad", "solve_lasso_batch",
+    "fused_pg_box_step", "reference_pg_box_step", "solve_box_qp_batch",
+]

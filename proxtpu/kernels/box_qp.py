@@ -1,0 +1,150 @@
+"""Fused Pallas TPU kernel for batched box-constrained QP projected gradient.
+
+Per problem lane i:
+
+    z_i = clip(x_i - gamma_i * (Q_i x_i + q_i), lo, hi)
+    res_i = ||x_i - z_i||_inf
+
+the projected-gradient step of the nonconvex box-QP family
+(``test/problems/test_nonconvex_qp.jl``).  One VMEM pass over each Q_i per
+iteration, all contractions on the VPU in native f32.
+
+Layout trick: the symmetric matvec is computed in *both* orientations from
+the same VMEM-resident Q — ``sum_lanes(Q * x_row)`` gives the column form,
+``sum_sublanes(Q * x_col)`` the row form — so the carry keeps the iterate as
+(1, n) and (n, 1) simultaneously and no transpose/relayout is ever needed.
+Compute doubles but stays far below the HBM bound; Q is read from HBM once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pg_step_kernel(
+    Q_ref, qrow_ref, qcol_ref, xrow_ref, xcol_ref, gamma_ref, lo_ref, hi_ref,
+    zrow_ref, zcol_ref, res_ref,
+):
+    L = Q_ref.shape[0]
+    for l in range(L):
+        Q = Q_ref[l]            # (n, n)
+        x_row = xrow_ref[l]     # (1, n)
+        x_col = xcol_ref[l]     # (n, 1)
+        gamma = gamma_ref[l, 0, 0]
+        lo = lo_ref[l, 0, 0]
+        hi = hi_ref[l, 0, 0]
+
+        grad_col = jnp.sum(Q * x_row, axis=1, keepdims=True) + qcol_ref[l]
+        grad_row = jnp.sum(Q * x_col, axis=0, keepdims=True) + qrow_ref[l]
+        z_row = jnp.clip(x_row - gamma * grad_row, lo, hi)
+        z_col = jnp.clip(x_col - gamma * grad_col, lo, hi)
+        zrow_ref[l] = z_row
+        zcol_ref[l] = z_col
+        res_ref[l] = jnp.max(jnp.abs(x_row - z_row)).reshape(1, 1)
+
+
+@partial(jax.jit, static_argnames=("interpret", "lanes"))
+def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
+    """One fused projected-gradient step for a batch of box QPs.
+
+    Args:
+      Q: (B, n, n) symmetric matrices.  q: (B, n).  x: (B, n).
+      gamma, lo, hi: (B,) per-lane scalars.
+
+    Returns: z (B, n), res_inf (B,).
+    """
+    B, n, _ = Q.shape
+    dtype = Q.dtype
+    if lanes is None:
+        budget = 4 * 1024 * 1024
+        lanes = 1
+        for cand in (8, 4, 2):
+            if B % cand == 0 and cand * n * n * dtype.itemsize <= budget:
+                lanes = cand
+                break
+    L = lanes
+    qrow = q.reshape(B, 1, n)
+    qcol = q.reshape(B, n, 1)
+    xrow = x.reshape(B, 1, n)
+    xcol = x.reshape(B, n, 1)
+    s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+
+    vspec = lambda shape: pl.BlockSpec(
+        (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    zrow, zcol, res = pl.pallas_call(
+        _pg_step_kernel,
+        grid=(B // L,),
+        in_specs=[
+            vspec((n, n)), vspec((1, n)), vspec((n, 1)), vspec((1, n)),
+            vspec((n, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+        ],
+        out_specs=[vspec((1, n)), vspec((n, 1)), vspec((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, n), dtype),
+            jax.ShapeDtypeStruct((B, n, 1), dtype),
+            jax.ShapeDtypeStruct((B, 1, 1), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * n * n,
+            bytes_accessed=B * n * n * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Q, qrow, qcol, xrow, xcol, s3(gamma), s3(lo), s3(hi))
+    return zrow.reshape(B, n), res.reshape(B)
+
+
+def reference_pg_box_step(Q, q, x, gamma, lo, hi):
+    """Pure-XLA reference of the fused step."""
+    grad = jnp.einsum("bij,bj->bi", Q, x,
+                      precision=jax.lax.Precision.HIGHEST) + q
+    z = jnp.clip(x - gamma[:, None] * grad, lo[:, None], hi[:, None])
+    return z, jnp.max(jnp.abs(x - z), axis=1)
+
+
+@partial(jax.jit, static_argnames=("maxit", "use_kernel", "interpret"))
+def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
+                       interpret=False):
+    """Batched projected-gradient solver for box QPs with the fused step.
+
+    ``gamma = 0.95 / Lip`` per lane (the nonconvex-QP test convention);
+    stopping rule ``||x - z||_inf / gamma <= tol`` with per-lane freezing.
+    """
+    B, n, _ = Q.shape
+    dtype = Q.dtype
+    gamma = (0.95 / Lip).astype(dtype)
+    lo_v = jnp.broadcast_to(jnp.asarray(lo, dtype), (B,))
+    hi_v = jnp.broadcast_to(jnp.asarray(hi, dtype), (B,))
+    step_fn = (
+        partial(fused_pg_box_step, interpret=interpret)
+        if use_kernel
+        else reference_pg_box_step
+    )
+
+    x0 = jnp.zeros((B, n), dtype)
+    z0, res0 = step_fn(Q, q, x0, gamma, lo_v, hi_v)
+    done0 = res0 / gamma <= tol
+    init = (jnp.asarray(1, jnp.int32), z0, done0, jnp.ones((B,), jnp.int32))
+
+    def cond(c):
+        k, x, done, iters = c
+        return (k < maxit) & jnp.logical_not(jnp.all(done))
+
+    def body(c):
+        k, x, done, iters = c
+        z, res = step_fn(Q, q, x, gamma, lo_v, hi_v)
+        newly_done = res / gamma <= tol
+        x = jnp.where(done[:, None], x, z)
+        k = k + 1
+        iters = jnp.where(done, iters, k)
+        return (k, x, done | newly_done, iters)
+
+    k, x, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(done, iters, k)
+    return x, iters, done

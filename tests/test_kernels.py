@@ -87,3 +87,61 @@ def test_kernel_solver_matches_generic_driver(data):
     assert bool(jnp.all(d))
     # same fixed point to f32 solver tolerance
     np.testing.assert_allclose(np.asarray(z), np.asarray(xs), atol=1e-4)
+
+
+class TestBoxQPKernel:
+    """Fused projected-gradient box-QP kernel vs references."""
+
+    @pytest.fixture(scope="class")
+    def qp(self):
+        rng = np.random.default_rng(0)
+        Bq, n = 6, 16
+        Qs, qs, Lips = [], [], []
+        for _ in range(Bq):
+            U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+            ev = 2 * rng.random(n) - 1
+            Q = (U @ np.diag(ev) @ U.T).astype(np.float32)
+            Qs.append(0.5 * (Q + Q.T))
+            qs.append(rng.standard_normal(n).astype(np.float32))
+            Lips.append(np.max(np.abs(ev)))
+        return (
+            jnp.asarray(np.stack(Qs)),
+            jnp.asarray(np.stack(qs)),
+            jnp.asarray(np.array(Lips, np.float32)),
+        )
+
+    def test_step_matches_reference(self, qp):
+        from proxtpu.kernels.box_qp import (
+            fused_pg_box_step,
+            reference_pg_box_step,
+        )
+
+        Q, q, Lip = qp
+        Bq, n = q.shape
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((Bq, n)).astype(np.float32))
+        gam = (0.95 / Lip).astype(jnp.float32)
+        lo = jnp.full((Bq,), -1.0, jnp.float32)
+        hi = jnp.full((Bq,), 1.0, jnp.float32)
+        zk, rk = fused_pg_box_step(Q, q, x, gam, lo, hi, interpret=True)
+        zr, rr = reference_pg_box_step(Q, q, x, gam, lo, hi)
+        np.testing.assert_allclose(np.asarray(zk), np.asarray(zr), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(rk), np.asarray(rr), atol=5e-6)
+
+    def test_solver_fixed_point(self, qp):
+        from proxtpu.kernels.box_qp import solve_box_qp_batch
+
+        Q, q, Lip = qp
+        z, iters, done = solve_box_qp_batch(
+            Q, q, -1.0, 1.0, Lip, 1e-4, use_kernel=True, interpret=True
+        )
+        assert bool(jnp.all(done))
+        # verify the projected-gradient fixed-point residual directly
+        for i in range(q.shape[0]):
+            x = np.asarray(z[i], np.float64)
+            gamma = 0.95 / float(Lip[i])
+            step = np.clip(
+                x - gamma * (np.asarray(Q[i], np.float64) @ x + np.asarray(q[i])),
+                -1.0, 1.0,
+            )
+            assert np.max(np.abs(x - step)) / gamma <= 2e-4

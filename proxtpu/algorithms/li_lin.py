@@ -140,8 +140,11 @@ def make_li_lin_iteration(
         gamma = 1 / jnp.asarray(Lf, R)
     try:
         # feasible-start assert (``li_lin.jl:77``); skipped under tracing
+        # (genuine errors from a broken f/g must propagate, so only the
+        # tracer-concretization errors are caught)
         F0 = float(f(x0) + g(x0))
-    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError, TypeError):
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
         F0 = 0.0
     if not jnp.isfinite(F0):
         raise ValueError("initial point must be feasible")

@@ -9,11 +9,11 @@ the projected-gradient step of the nonconvex box-QP family
 (``test/problems/test_nonconvex_qp.jl``).  One VMEM pass over each Q_i per
 iteration, all contractions on the VPU in native f32.
 
-Layout trick: the symmetric matvec is computed in *both* orientations from
-the same VMEM-resident Q — ``sum_lanes(Q * x_row)`` gives the column form,
-``sum_sublanes(Q * x_col)`` the row form — so the carry keeps the iterate as
-(1, n) and (n, 1) simultaneously and no transpose/relayout is ever needed.
-Compute doubles but stays far below the HBM bound; Q is read from HBM once.
+Layout trick: the symmetric matvec is computed as a *sublane* reduction
+``sum_sublanes(Q * x_col)``, which consumes the iterate in the column
+orientation and produces the gradient directly in the row orientation the
+update needs — no in-kernel transpose/relayout.  Both orientations of x are
+cheap host-side reshapes of the (B, n) carry; Q is read from HBM once.
 """
 
 from __future__ import annotations
@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pg_step_kernel(
-    Q_ref, qrow_ref, qcol_ref, xrow_ref, xcol_ref, gamma_ref, lo_ref, hi_ref,
-    zrow_ref, zcol_ref, res_ref,
+    Q_ref, qrow_ref, xrow_ref, xcol_ref, gamma_ref, lo_ref, hi_ref,
+    zrow_ref, res_ref,
 ):
     L = Q_ref.shape[0]
     for l in range(L):
@@ -39,12 +39,12 @@ def _pg_step_kernel(
         lo = lo_ref[l, 0, 0]
         hi = hi_ref[l, 0, 0]
 
-        grad_col = jnp.sum(Q * x_row, axis=1, keepdims=True) + qcol_ref[l]
+        # symmetric matvec as a sublane reduction: needs x in the *column*
+        # orientation, produces grad directly in the row orientation the
+        # update needs — no in-kernel transpose/relayout
         grad_row = jnp.sum(Q * x_col, axis=0, keepdims=True) + qrow_ref[l]
         z_row = jnp.clip(x_row - gamma * grad_row, lo, hi)
-        z_col = jnp.clip(x_col - gamma * grad_col, lo, hi)
         zrow_ref[l] = z_row
-        zcol_ref[l] = z_col
         res_ref[l] = jnp.max(jnp.abs(x_row - z_row)).reshape(1, 1)
 
 
@@ -67,9 +67,13 @@ def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
             if B % cand == 0 and cand * n * n * dtype.itemsize <= budget:
                 lanes = cand
                 break
+    elif B % lanes != 0:
+        raise ValueError(
+            f"lanes={lanes} must divide the batch size B={B} (a truncated "
+            "grid would leave the tail lanes uninitialized)"
+        )
     L = lanes
     qrow = q.reshape(B, 1, n)
-    qcol = q.reshape(B, n, 1)
     xrow = x.reshape(B, 1, n)
     xcol = x.reshape(B, n, 1)
     s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
@@ -77,26 +81,25 @@ def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
     vspec = lambda shape: pl.BlockSpec(
         (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    zrow, zcol, res = pl.pallas_call(
+    zrow, res = pl.pallas_call(
         _pg_step_kernel,
         grid=(B // L,),
         in_specs=[
-            vspec((n, n)), vspec((1, n)), vspec((n, 1)), vspec((1, n)),
-            vspec((n, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+            vspec((n, n)), vspec((1, n)), vspec((1, n)), vspec((n, 1)),
+            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
         ],
-        out_specs=[vspec((1, n)), vspec((n, 1)), vspec((1, 1))],
+        out_specs=[vspec((1, n)), vspec((1, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), dtype),
-            jax.ShapeDtypeStruct((B, n, 1), dtype),
             jax.ShapeDtypeStruct((B, 1, 1), dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * B * n * n,
+            flops=4 * B * n * n,
             bytes_accessed=B * n * n * dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Q, qrow, qcol, xrow, xcol, s3(gamma), s3(lo), s3(hi))
+    )(Q, qrow, xrow, xcol, s3(gamma), s3(lo), s3(hi))
     return zrow.reshape(B, n), res.reshape(B)
 
 

@@ -78,6 +78,11 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
             if B % cand == 0 and cand * M * N * dtype.itemsize <= budget:
                 lanes = cand
                 break
+    elif B % lanes != 0:
+        raise ValueError(
+            f"lanes={lanes} must divide the batch size B={B} (a truncated "
+            "grid would leave the tail lanes uninitialized)"
+        )
     L = lanes
     b3 = b.reshape(B, M, 1)
     # TPU lowering requires the last two block dims to divide (8, 128) or
@@ -159,13 +164,18 @@ def solve_lasso_batch(
 
     x0 = jnp.zeros((B, N), dtype)
     z0, res0 = step_fn(A, b, x0, gamma, thr)
-    # state: (k, x, z_prev, t, done, iters); first step counts as iteration 1
+    # state: (k, x, z_prev, t, done, iters); the init FB step counts as
+    # iteration 1.  The first extrapolation coefficient is beta = 0 (t=1),
+    # so the next point is z0 itself: carry x = z0 with the t-sequence
+    # already advanced once, matching the generic FISTA driver's counts.
     done0 = res0 / gamma <= tol
+    t0 = jnp.ones((B,), dtype)
+    t1 = (1 + jnp.sqrt(1 + 4 * t0 * t0)) / 2
     init = (
         jnp.asarray(1, jnp.int32),
-        x0,
         z0,
-        jnp.ones((B,), dtype),
+        z0,
+        t1,
         done0,
         jnp.ones((B,), jnp.int32),
     )
@@ -176,10 +186,9 @@ def solve_lasso_batch(
 
     def body(c):
         k, x, z_prev, t, done, iters = c
-        # Nesterov extrapolation (simple t-sequence), then fused FB step
+        # FB step at the current extrapolated point, then Nesterov
+        # extrapolation with the simple t-sequence
         t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-        # x here holds the *previous* extrapolated point; z_prev the last
-        # prox point: recompute z at the new extrapolation point
         z, res = step_fn(A, b, x, gamma, thr)
         beta = ((t - 1) / t_new)[:, None]
         x_new = z + beta * (z - z_prev)

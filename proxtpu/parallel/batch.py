@@ -37,53 +37,17 @@ def _freeze(done, old, new):
     return jax.tree.map(sel, old, new)
 
 
-@partial(jax.jit, static_argnames=("stop", "solution"))
-def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
-    """Run a batched iteration until every lane converges (or maxit).
+@partial(jax.jit, static_argnames=("stop",))
+def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
+                stop=None):
+    """Advance a batch up to ``chunk`` iterations (or all-done/maxit) with
+    per-lane freezing — the one shared core of both batched drivers.
 
-    ``iteration`` is a stacked pytree (leading batch axis on every leaf —
-    broadcast shared data with ``jnp.broadcast_to`` or use
-    :func:`stack_iterations`).  Returns ``(solutions, iters, done)`` where
-    ``iters[i]`` is the iteration count at which lane ``i`` converged
-    (``maxit`` cap applies), matching the single-problem driver's count.
+    ``stop=None`` (the common case) keeps the jit cache key stable across
+    calls; the default criterion is resolved inside the traced function.
     """
     if stop is None:
         stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
-    if solution is None:
-        solution = lambda it, s: it.default_solution(s)
-
-    vinit = jax.vmap(lambda it: it.init())
-    vstep = jax.vmap(lambda it, s: it.step(s))
-    vstop = jax.vmap(lambda it, s: stop(it, tol, s))
-
-    state = vinit(iteration)
-    done0 = vstop(iteration, state)
-    B = done0.shape[0]
-    iters0 = jnp.ones((B,), jnp.int32)
-
-    def cond(carry):
-        k, s, done, iters = carry
-        return (k < maxit) & jnp.logical_not(jnp.all(done))
-
-    def body(carry):
-        k, s, done, iters = carry
-        s_new = vstep(iteration, s)
-        s = _freeze(done, s, s_new)
-        k = k + 1
-        newly_done = vstop(iteration, s)
-        iters = jnp.where(done, iters, k)
-        return (k, s, done | newly_done, iters)
-
-    k, state, done, iters = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32), state, done0, iters0)
-    )
-    iters = jnp.where(done, iters, k)
-    return jax.vmap(lambda it, s: solution(it, s))(iteration, state), iters, done
-
-
-@partial(jax.jit, static_argnames=("stop",))
-def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol, stop):
-    """Advance a batch up to ``chunk`` iterations (or all-done/maxit)."""
     vstep = jax.vmap(lambda it, s: it.step(s))
     vstop = jax.vmap(lambda it, s: stop(it, tol, s))
 
@@ -111,6 +75,43 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol, stop):
     return k, state, done, iters
 
 
+@partial(jax.jit, static_argnames=("stop", "solution"))
+def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
+    """Run a batched iteration until every lane converges (or maxit).
+
+    ``iteration`` is a stacked pytree (leading batch axis on every leaf —
+    broadcast shared data with ``jnp.broadcast_to`` or use
+    :func:`stack_iterations`).  Returns ``(solutions, iters, done)`` where
+    ``iters[i]`` is the iteration count at which lane ``i`` converged
+    (``maxit`` cap applies), matching the single-problem driver's count.
+    """
+    stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
+    solution_ = solution or (lambda it, s: it.default_solution(s))
+
+    state = jax.vmap(lambda it: it.init())(iteration)
+    done0 = jax.vmap(lambda it, s: stop_(it, tol, s))(iteration, state)
+    B = done0.shape[0]
+    k, state, done, iters = _chunk_loop(
+        iteration, state, jnp.asarray(1, jnp.int32), done0,
+        jnp.ones((B,), jnp.int32), maxit, maxit, tol, stop=stop,
+    )
+    return (
+        jax.vmap(lambda it, s: solution_(it, s))(iteration, state),
+        iters,
+        done,
+    )
+
+
+_default_vinit = jax.jit(jax.vmap(lambda it: it.init()))
+_default_vstop = jax.jit(
+    jax.vmap(
+        lambda it, tol, s: it.default_stopping_criterion(tol, s),
+        in_axes=(0, None, 0),
+    )
+)
+_default_vsol = jax.jit(jax.vmap(lambda it, s: it.default_solution(s)))
+
+
 def _bucket(n, min_batch):
     b = max(min_batch, 1)
     while b < n:
@@ -130,14 +131,16 @@ def compacting_batched_run(
     and iteration counts match exactly); each distinct bucket size compiles
     the chunk loop once.  One host sync per chunk.
     """
-    if stop is None:
-        stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
-    if solution is None:
-        solution = lambda it, s: it.default_solution(s)
-    vsol = jax.jit(jax.vmap(lambda it, s: solution(it, s)))
+    # module-level jitted defaults keep the compile cache stable across calls
+    vsol = _default_vsol if solution is None else jax.jit(
+        jax.vmap(lambda it, s: solution(it, s))
+    )
+    vstop0 = _default_vstop if stop is None else jax.jit(
+        jax.vmap(lambda it, tol, s: stop(it, tol, s), in_axes=(0, None, 0))
+    )
 
-    state = jax.jit(jax.vmap(lambda it: it.init()))(iteration)
-    done = jax.jit(jax.vmap(lambda it, s: stop(it, tol, s)))(iteration, state)
+    state = _default_vinit(iteration)
+    done = vstop0(iteration, tol, state)
     B = done.shape[0]
 
     out_solution = None  # allocated from the first retired batch

@@ -20,15 +20,20 @@ from jax.sharding import Mesh
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
-                           process_id=None):
-    """Initialize multi-host JAX; no-op when running single-process.
+                           process_id=None, auto=False):
+    """Initialize multi-host JAX.
 
-    All arguments default to auto-detection from the TPU environment
-    (the standard GCE/GKE metadata path); pass them explicitly for manual
-    clusters.
+    With all-default arguments this is a deliberate no-op (safe in
+    single-process dev environments).  Pass ``auto=True`` on a real
+    multi-host TPU slice to run the bare ``jax.distributed.initialize()``
+    auto-detection (GCE/GKE metadata path), or pass the coordinator
+    address / process counts explicitly for manual clusters.  Returns
+    ``jax.process_count()``.
     """
-    if num_processes is not None and num_processes > 1 or (
-        coordinator_address is not None
+    if auto:
+        jax.distributed.initialize()
+    elif coordinator_address is not None or (
+        num_processes is not None and num_processes > 1
     ):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

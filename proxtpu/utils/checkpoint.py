@@ -62,12 +62,18 @@ def load_state(path, like=None):
     if ocp is not None and os.path.isdir(path):
         ckptr = ocp.PyTreeCheckpointer()
         if like is not None:
+            def restore_args(l):
+                sharding = getattr(l, "sharding", None)
+                if sharding is not None and hasattr(l, "dtype"):
+                    return ocp.type_handlers.ArrayRestoreArgs(
+                        sharding=sharding, dtype=l.dtype
+                    )
+                return ocp.type_handlers.RestoreArgs()
+
             restored = ckptr.restore(
                 os.path.abspath(path),
                 args=ocp.args.PyTreeRestore(
-                    jax.tree.map(
-                        lambda l: ocp.type_handlers.RestoreArgs(), like
-                    )
+                    jax.tree.map(restore_args, like)
                 ),
             )
             return jax.tree.unflatten(

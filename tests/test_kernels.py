@@ -85,8 +85,10 @@ def test_kernel_solver_matches_generic_driver(data):
         A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=True, interpret=True
     )
     assert bool(jnp.all(d))
-    # same fixed point to f32 solver tolerance
+    # same fixed point to f32 solver tolerance, and same per-lane iteration
+    # counts up to the f32 last-bit boundary effect
     np.testing.assert_allclose(np.asarray(z), np.asarray(xs), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(it) - np.asarray(iters)))) <= 1
 
 
 class TestBoxQPKernel:

@@ -178,21 +178,27 @@ class DRLSIteration:
             x = tree_lincomb(tau, x_d, 1 - tau, xbar_prev)
             if quad:
                 # prox of a generalized quadratic is affine in its argument:
-                # interpolate u and f_u along the segment (``drls.jl:172-184``)
-                u0_new, c_val = prox(self.f, xbar_prev, gamma)
-                b_new = (
-                    tree_vdot_real(
-                        tree_sub(xbar_prev, x_d), tree_sub(xbar_prev, u0_new)
+                # interpolate u and f_u along the segment (``drls.jl:172-184``).
+                # The segment endpoint and coefficients are computed on the
+                # first trial only (lax.cond runs a single branch, so later
+                # trials pay no prox — ``drls.jl`` guards this with k == 1)
+                def fresh_abc():
+                    u0_new, c_val = prox(self.f, xbar_prev, gamma)
+                    b_new = (
+                        tree_vdot_real(
+                            tree_sub(xbar_prev, x_d),
+                            tree_sub(xbar_prev, u0_new),
+                        )
+                        / gamma
                     )
-                    / gamma
-                )
-                a_new = f_u - b_new - c_val
-                from ..utils.tree import tree_where
+                    a_new = f_u - b_new - c_val
+                    return u0_new, a_new, b_new, c_val
 
-                u0 = tree_where(c_.abc_valid, c_.u0, u0_new)
-                a = jnp.where(c_.abc_valid, c_.a, a_new)
-                b = jnp.where(c_.abc_valid, c_.b, b_new)
-                cc = jnp.where(c_.abc_valid, c_.c, c_val)
+                u0, a, b, cc = jax.lax.cond(
+                    c_.abc_valid,
+                    lambda: (c_.u0, c_.a, c_.b, c_.c),
+                    fresh_abc,
+                )
                 u = tree_lincomb(tau, c_.u1, 1 - tau, u0)
                 f_u_new = a * tau**2 + b * tau + cc
                 abc_valid = jnp.asarray(True)

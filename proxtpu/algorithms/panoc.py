@@ -170,8 +170,12 @@ class PANOCIteration:
             return (c_.k <= self.max_backtracks) & (c_.FBE_new > threshold)
 
         def body(c_):
-            # lazily compute A z_curr once (``panoc.jl:206-208``)
-            Az = tree_where(c_.az_valid, c_.Az, self.A.matvec(z_curr))
+            # lazily compute A z_curr once (``panoc.jl:206-208``) — lax.cond
+            # executes a single branch, so after the first trial no matvec
+            # is paid (tree_where would evaluate both operands every trial)
+            Az = jax.lax.cond(
+                c_.az_valid, lambda: c_.Az, lambda: self.A.matvec(z_curr)
+            )
             tau = jnp.where(
                 c_.k >= self.max_backtracks, jnp.zeros((), R), c_.tau / 2
             )
@@ -179,22 +183,29 @@ class PANOCIteration:
             Ax = tree_lincomb(tau, Ax_d, 1 - tau, Az)
             if quad:
                 # interpolate f and its gradient along the segment — no
-                # matvec per trial (``panoc.jl:217-237``)
-                f_Az_new, grad_f_Az_new = value_and_gradient(self.f, Az)
-                f_Az = jnp.where(c_.az_valid, c_.f_Az, f_Az_new)
-                grad_f_Az = tree_where(c_.az_valid, c_.grad_f_Az, grad_f_Az_new)
-                At_grad_f_Az_new = self.A.rmatvec(grad_f_Az)
-                At_grad_f_Az = tree_where(
-                    c_.abc_valid, c_.At_grad_f_Az, At_grad_f_Az_new
+                # matvec per trial (``panoc.jl:217-237``); the segment-end
+                # quantities and interpolation coefficients are computed on
+                # the first trial only
+                f_Az, grad_f_Az = jax.lax.cond(
+                    c_.az_valid,
+                    lambda: (c_.f_Az, c_.grad_f_Az),
+                    lambda: value_and_gradient(self.f, Az),
                 )
-                c_new = f_Az
-                b_new = tree_vdot_real(Ax_d, grad_f_Az) - tree_vdot_real(
-                    Az, grad_f_Az
+
+                def fresh_abc():
+                    At_grad_f_Az = self.A.rmatvec(grad_f_Az)
+                    c_new = f_Az
+                    b_new = tree_vdot_real(Ax_d, grad_f_Az) - tree_vdot_real(
+                        Az, grad_f_Az
+                    )
+                    a_new = f_Ax_d - b_new - c_new
+                    return At_grad_f_Az, a_new, b_new, c_new
+
+                At_grad_f_Az, a, b, cc = jax.lax.cond(
+                    c_.abc_valid,
+                    lambda: (c_.At_grad_f_Az, c_.a, c_.b, c_.c),
+                    fresh_abc,
                 )
-                a_new = f_Ax_d - b_new - c_new
-                a = jnp.where(c_.abc_valid, c_.a, a_new)
-                b = jnp.where(c_.abc_valid, c_.b, b_new)
-                cc = jnp.where(c_.abc_valid, c_.c, c_new)
                 f_Ax = a * tau**2 + b * tau + cc
                 grad_f_Ax = tree_lincomb(tau, grad_f_Ax_d, 1 - tau, grad_f_Az)
                 At_grad_f_Ax = tree_lincomb(

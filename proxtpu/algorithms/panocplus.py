@@ -238,6 +238,9 @@ def make_panocplus_iteration(
         gamma = alpha / jnp.asarray(Lf, R)
     if adaptive is None:
         adaptive = gamma is None
+    # the reference backtracks whenever gamma was merely *estimated*, even
+    # with adaptive=false (``panocplus.jl:104``: gamma === nothing || adaptive)
+    adaptive = bool(adaptive) or gamma is None
     return PANOCplusIteration(
         f=f, A=as_linop(A), g=g, x0=x0,
         alpha=rscalar(alpha, R), beta=rscalar(beta, R),

@@ -28,6 +28,7 @@ from .functions import (
     LogisticLoss,
     NormL1,
     NormL21,
+    NuclearNorm,
     NormL2,
     Quadratic,
     SqrDistance,
@@ -40,7 +41,7 @@ from .functions import (
 __all__ = [
     "Zero", "IndZero", "AutoDifferentiable", "convex_conjugate", "prox",
     "value_and_gradient", "proxclass", "is_convex", "is_generalized_quadratic",
-    "NormL1", "NormL2", "NormL21", "SqrNormL2", "ElasticNet", "Linear", "IndBox",
+    "NormL1", "NormL2", "NormL21", "NuclearNorm", "SqrNormL2", "ElasticNet", "Linear", "IndBox",
     "IndNonnegative", "IndPoint", "IndAffine", "LeastSquares", "LeastSquaresLoss", "Translate",
     "Quadratic", "LogisticLoss", "SqrDistance", "make_least_squares",
     "make_ind_affine", "Conjugate", "SeparableSum", "SlicedSeparableSum",

@@ -92,6 +92,30 @@ class NormL2:
         return z, self(z)
 
 
+@proxclass
+class NuclearNorm:
+    """f(X) = lam * ||X||_* (sum of singular values); prox is singular-value
+    soft-thresholding — the regularizer of low-rank recovery / matrix
+    completion.  The SVD runs on-device (jnp.linalg.svd); X must be a 2-D
+    leaf."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, X):
+        s = jnp.linalg.svd(X, compute_uv=False)
+        return _rparam(self.lam, X) * jnp.sum(s)
+
+    def prox(self, X, gamma):
+        U, s, Vh = jnp.linalg.svd(X, full_matrices=False)
+        lam = _rparam(self.lam, X)
+        s_thr = jnp.maximum(s - gamma * lam, 0)
+        Z = (U * s_thr[None, :].astype(U.dtype)) @ Vh
+        return Z, lam * jnp.sum(s_thr)
+
+
 @proxclass(meta_fields=("axis",))
 class NormL21:
     """f(Y) = lam * sum_j ||Y[:, j]||_2 — the isotropic group l2,1 norm over

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import auto_lanes
+
 
 def _pg_step_kernel(
     Q_ref, qrow_ref, xrow_ref, xcol_ref, gamma_ref, lo_ref, hi_ref,
@@ -60,19 +62,7 @@ def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
     """
     B, n, _ = Q.shape
     dtype = Q.dtype
-    if lanes is None:
-        budget = 4 * 1024 * 1024
-        lanes = 1
-        for cand in (8, 4, 2):
-            if B % cand == 0 and cand * n * n * dtype.itemsize <= budget:
-                lanes = cand
-                break
-    elif B % lanes != 0:
-        raise ValueError(
-            f"lanes={lanes} must divide the batch size B={B} (a truncated "
-            "grid would leave the tail lanes uninitialized)"
-        )
-    L = lanes
+    L = auto_lanes(B, n * n * dtype.itemsize, lanes)
     qrow = q.reshape(B, 1, n)
     xrow = x.reshape(B, 1, n)
     xcol = x.reshape(B, n, 1)
@@ -121,7 +111,8 @@ def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
     """
     B, n, _ = Q.shape
     dtype = Q.dtype
-    gamma = (0.95 / Lip).astype(dtype)
+    gamma = (0.95 / jnp.asarray(Lip)).astype(dtype)
+    gamma = jnp.broadcast_to(gamma, (B,))
     lo_v = jnp.broadcast_to(jnp.asarray(lo, dtype), (B,))
     hi_v = jnp.broadcast_to(jnp.asarray(hi, dtype), (B,))
     step_fn = (

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import auto_lanes
+
 
 def _fb_step_kernel(A_ref, b_ref, x_ref, gamma_ref, thr_ref, z_ref, res_ref):
     # L lanes per grid step amortize the fixed per-step cost (grid overhead
@@ -71,19 +73,7 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
     """
     B, M, N = A.shape
     dtype = A.dtype
-    if lanes is None:
-        budget = 4 * 1024 * 1024  # half of VMEM at double buffering
-        lanes = 1
-        for cand in (8, 4, 2):
-            if B % cand == 0 and cand * M * N * dtype.itemsize <= budget:
-                lanes = cand
-                break
-    elif B % lanes != 0:
-        raise ValueError(
-            f"lanes={lanes} must divide the batch size B={B} (a truncated "
-            "grid would leave the tail lanes uninitialized)"
-        )
-    L = lanes
+    L = auto_lanes(B, M * N * dtype.itemsize, lanes)
     b3 = b.reshape(B, M, 1)
     # TPU lowering requires the last two block dims to divide (8, 128) or
     # equal the array dims — so vectors ride as (B, 1, N) with (L, 1, N)

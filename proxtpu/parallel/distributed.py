@@ -26,11 +26,12 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     With all-default arguments this is a deliberate no-op (safe in
     single-process dev environments).  Pass ``auto=True`` on a real
     multi-host TPU slice to run the bare ``jax.distributed.initialize()``
-    auto-detection (GCE/GKE metadata path), or pass the coordinator
-    address / process counts explicitly for manual clusters.  Returns
+    auto-detection (GCE/GKE metadata path); explicit coordinator
+    address / process counts (for manual clusters) take precedence over
+    ``auto``.  Returns
     ``jax.process_count()``.
     """
-    if auto:
+    if auto and coordinator_address is None and num_processes is None:
         jax.distributed.initialize()
     elif coordinator_address is not None or (
         num_processes is not None and num_processes > 1

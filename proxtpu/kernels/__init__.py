@@ -2,9 +2,16 @@
 solver also runs pure-XLA; kernels have interpret mode for CPU tests)."""
 
 from .box_qp import fused_pg_box_step, reference_pg_box_step, solve_box_qp_batch
-from .lasso import fused_fb_prox_grad, reference_fb_prox_grad, solve_lasso_batch
+from .lasso import (
+    fused_fb_prox_grad,
+    fused_fista_k_steps,
+    reference_fb_prox_grad,
+    solve_lasso_batch,
+    solve_lasso_batch_blocked,
+)
 
 __all__ = [
     "fused_fb_prox_grad", "reference_fb_prox_grad", "solve_lasso_batch",
+    "fused_fista_k_steps", "solve_lasso_batch_blocked",
     "fused_pg_box_step", "reference_pg_box_step", "solve_box_qp_batch",
 ]

@@ -147,3 +147,24 @@ class TestBoxQPKernel:
                 -1.0, 1.0,
             )
             assert np.max(np.abs(x - step)) / gamma <= 2e-4
+
+
+def test_blocked_solver_matches_fixed_point(data):
+    """Iteration-blocked FISTA reaches the same fixed point; its sampled
+    stopping makes per-lane counts an upper bound (never earlier than the
+    one-step solver)."""
+    from proxtpu.kernels.lasso import (
+        solve_lasso_batch,
+        solve_lasso_batch_blocked,
+    )
+
+    A, b, lam, Lf = data
+    z1, i1, d1 = solve_lasso_batch(
+        A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=True, interpret=True
+    )
+    z2, i2, d2 = solve_lasso_batch_blocked(
+        A, b, lam, Lf, 1e-5, maxit=3000, iter_block=8, interpret=True
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d2))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=5e-4)
+    assert np.all(np.asarray(i2) >= np.asarray(i1) - 1)

@@ -81,7 +81,10 @@ def run_jax(As, bs, lams, Lfs):
     import jax
     import jax.numpy as jnp
 
-    from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.kernels.lasso import (
+        solve_lasso_batch,
+        solve_lasso_batch_blocked,
+    )
 
     platform = jax.devices()[0].platform
     use_kernel = platform == "tpu"
@@ -91,9 +94,17 @@ def run_jax(As, bs, lams, Lfs):
     Lf = jnp.asarray(Lfs)
 
     def solve():
-        xs, iters, done = solve_lasso_batch(
-            A, b, lam, Lf, TOL, maxit=MAXIT, use_kernel=use_kernel
-        )
+        if use_kernel:
+            # fastest correct solver: K-step iteration blocking (same
+            # trajectory; stopping sampled every K steps, solutions at
+            # least as converged as the per-iteration-checked solver)
+            xs, iters, done = solve_lasso_batch_blocked(
+                A, b, lam, Lf, TOL, maxit=MAXIT, iter_block=8
+            )
+        else:
+            xs, iters, done = solve_lasso_batch(
+                A, b, lam, Lf, TOL, maxit=MAXIT, use_kernel=False
+            )
         # NOTE: jax.block_until_ready does NOT actually block on the axon
         # backend; a host transfer is the only reliable completion fence.
         return np.asarray(xs), np.asarray(iters), np.asarray(done)

@@ -142,3 +142,124 @@ def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
     k, x, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
     return x, iters, done
+
+
+def _pg_k_steps_kernel(K):
+    """K projected-gradient iterations per invocation with Q resident in
+    VMEM (iteration blocking; see lasso._fb_k_steps_kernel).
+
+    Unlike the one-step kernel, the iterate must cross steps *inside* the
+    kernel, where the update consumes it as a row and the next step's
+    reduction consumes it as a column.  To avoid a per-step
+    transpose/relayout, the carry holds BOTH orientations; for symmetric Q
+    each is advanced by the reduction that produces it natively (lane
+    reduction -> column, sublane reduction -> row).  VPU compute doubles,
+    but the blocked kernel is HBM-bound on Q for the shapes where blocking
+    matters, so the trade is net-positive."""
+
+    def kernel(Q_ref, qrow_ref, qcol_ref, xrow_ref, xcol_ref, gamma_ref,
+               lo_ref, hi_ref, xo_ref, res_ref):
+        L = Q_ref.shape[0]
+        for l in range(L):
+            Q = Q_ref[l]
+            qrow = qrow_ref[l]   # (1, n)
+            qcol = qcol_ref[l]   # (n, 1)
+            gamma = gamma_ref[l, 0, 0]
+            lo = lo_ref[l, 0, 0]
+            hi = hi_ref[l, 0, 0]
+
+            def step(_, carry):
+                x_row, x_col, _res = carry
+                # symmetric Q: both orientations of the gradient from the
+                # reduction that yields each natively (no transpose)
+                grad_row = jnp.sum(Q * x_col, axis=0, keepdims=True) + qrow
+                grad_col = jnp.sum(Q * x_row, axis=1, keepdims=True) + qcol
+                z_row = jnp.clip(x_row - gamma * grad_row, lo, hi)
+                z_col = jnp.clip(x_col - gamma * grad_col, lo, hi)
+                res = jnp.max(jnp.abs(x_row - z_row))
+                return (z_row, z_col, res)
+
+            x_row, x_col, res = jax.lax.fori_loop(
+                0, K, step,
+                (xrow_ref[l], xcol_ref[l], jnp.zeros((), Q.dtype)),
+            )
+            xo_ref[l] = x_row
+            res_ref[l] = res.reshape(1, 1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
+def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, K=8, interpret=False,
+                         lanes=None):
+    """Run K fused projected-gradient steps for the whole batch in one
+    kernel call; returns (x, res_inf_of_last_step)."""
+    B, n, _ = Q.shape
+    dtype = Q.dtype
+    L = auto_lanes(B, n * n * dtype.itemsize, lanes)
+    qrow = q.reshape(B, 1, n)
+    qcol = q.reshape(B, n, 1)
+    xrow = x.reshape(B, 1, n)
+    xcol = x.reshape(B, n, 1)
+    s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+
+    vspec = lambda shape: pl.BlockSpec(
+        (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    xo, res = pl.pallas_call(
+        _pg_k_steps_kernel(K),
+        grid=(B // L,),
+        in_specs=[
+            vspec((n, n)), vspec((1, n)), vspec((n, 1)), vspec((1, n)),
+            vspec((n, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+        ],
+        out_specs=[vspec((1, n)), vspec((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, n), dtype),
+            jax.ShapeDtypeStruct((B, 1, 1), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * K * B * n * n,
+            bytes_accessed=B * n * n * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Q, qrow, qcol, xrow, xcol, s3(gamma), s3(lo), s3(hi))
+    return xo.reshape(B, n), res.reshape(B)
+
+
+@partial(jax.jit, static_argnames=("maxit", "iter_block", "interpret"))
+def solve_box_qp_batch_blocked(Q, q, lo, hi, Lip, tol, maxit=10_000,
+                               iter_block=8, interpret=False):
+    """Iteration-blocked batched projected gradient (Q read from HBM once
+    per ``iter_block`` iterations; stopping sampled at block boundaries —
+    counts are upper bounds, solutions at least as converged)."""
+    B, n, _ = Q.shape
+    dtype = Q.dtype
+    gamma = jnp.broadcast_to((0.95 / jnp.asarray(Lip)).astype(dtype), (B,))
+    lo_v = jnp.broadcast_to(jnp.asarray(lo, dtype), (B,))
+    hi_v = jnp.broadcast_to(jnp.asarray(hi, dtype), (B,))
+    K = iter_block
+
+    x0 = jnp.zeros((B, n), dtype)
+    z0, res0 = fused_pg_box_step(Q, q, x0, gamma, lo_v, hi_v,
+                                 interpret=interpret)
+    done0 = res0 / gamma <= tol
+    init = (jnp.asarray(1, jnp.int32), z0, done0, jnp.ones((B,), jnp.int32))
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[2]))
+
+    def body(c):
+        k, x, done, iters = c
+        xn, res = fused_pg_box_k_steps(Q, q, x, gamma, lo_v, hi_v, K=K,
+                                       interpret=interpret)
+        x = jnp.where(done[:, None], x, xn)
+        k = k + K
+        newly_done = res / gamma <= tol
+        iters = jnp.where(done, iters, k)
+        return (k, x, done | newly_done, iters)
+
+    k, x, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(done, iters, k)
+    return x, iters, done

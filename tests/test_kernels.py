@@ -168,3 +168,33 @@ def test_blocked_solver_matches_fixed_point(data):
     assert bool(jnp.all(d1)) and bool(jnp.all(d2))
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=5e-4)
     assert np.all(np.asarray(i2) >= np.asarray(i1) - 1)
+
+
+def test_blocked_box_qp_matches(qp=None):
+    """Blocked box-QP PG reaches the same fixed point with upper-bound
+    iteration counts."""
+    from proxtpu.kernels import solve_box_qp_batch, solve_box_qp_batch_blocked
+
+    rng = np.random.default_rng(3)
+    n, Bq = 16, 8
+    Qs, qs, Lips = [], [], []
+    for _ in range(Bq):
+        U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        ev = 2 * rng.random(n) - 1
+        Q0 = (U @ np.diag(ev) @ U.T).astype(np.float32)
+        Qs.append(0.5 * (Q0 + Q0.T))
+        qs.append(rng.standard_normal(n).astype(np.float32))
+        Lips.append(np.max(np.abs(ev)))
+    Q = jnp.asarray(np.stack(Qs))
+    q = jnp.asarray(np.stack(qs))
+    Lip = jnp.asarray(np.array(Lips, np.float32))
+
+    z1, i1, d1 = solve_box_qp_batch(
+        Q, q, -1.0, 1.0, Lip, 1e-4, use_kernel=True, interpret=True
+    )
+    z2, i2, d2 = solve_box_qp_batch_blocked(
+        Q, q, -1.0, 1.0, Lip, 1e-4, iter_block=8, interpret=True
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d2))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=2e-3)
+    assert np.all(np.asarray(i2) >= np.asarray(i1) - 1)

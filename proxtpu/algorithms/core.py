@@ -51,7 +51,7 @@ def _default_display(k, iteration, state):
     static_argnames=("stop", "solution", "verbose", "freq", "display"),
 )
 def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
-             initial_state=None):
+             initial_state=None, k0=1):
     """Run an iteration to convergence; returns (solution, iteration_count).
 
     Matches the reference loop semantics: the initial state counts as
@@ -61,7 +61,11 @@ def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
     ``initial_state`` resumes from a previously captured state pytree
     (checkpoint/resume — the reference has none, SURVEY.md §5, but its
     all-state-in-one-struct design makes it natural; here the state is a
-    pytree, so it round-trips through orbax/pickle for free).
+    pytree, so it round-trips through orbax/pickle for free).  ``k0`` is the
+    iteration number of ``initial_state`` (the count a previous segment
+    returned): the counter continues from there, so ``maxit`` bounds the
+    *overall* solve and the returned count is the total across segments —
+    not per-segment.
     """
     state = iteration.init() if initial_state is None else initial_state
 
@@ -82,7 +86,7 @@ def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
         return (k, s)
 
     k, state = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32), state)
+        cond, body, (jnp.asarray(k0, jnp.int32), state)
     )
     if verbose:
         display(k, iteration, state)
@@ -123,11 +127,14 @@ class IterativeAlgorithm:
         merged = {**self.kwargs, **kwargs}
         return self.iteration_factory(**merged)
 
-    def run(self, resume_from=None, **kwargs):
+    def run(self, resume_from=None, resume_iters=None, **kwargs):
         """Jittable run: returns (solution, iteration count) as arrays.
 
         ``resume_from`` continues from a captured state pytree (obtain one
-        via :func:`states`, or checkpoint the carry with orbax/pickle)."""
+        via :func:`states`, or checkpoint the carry with orbax/pickle);
+        ``resume_iters`` is the iteration count of that state (e.g. the
+        count the previous segment returned) so the counter and the
+        ``maxit`` budget span the whole solve, not just this segment."""
         iteration = self.make_iteration(**kwargs)
         return run_loop(
             iteration,
@@ -139,10 +146,12 @@ class IterativeAlgorithm:
             self.freq,
             self.display,
             initial_state=resume_from,
+            k0=1 if resume_iters is None else resume_iters,
         )
 
-    def __call__(self, resume_from=None, **kwargs):
-        sol, k = self.run(resume_from=resume_from, **kwargs)
+    def __call__(self, resume_from=None, resume_iters=None, **kwargs):
+        sol, k = self.run(resume_from=resume_from, resume_iters=resume_iters,
+                          **kwargs)
         return sol, int(k)
 
 

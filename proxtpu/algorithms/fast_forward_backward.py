@@ -38,7 +38,7 @@ class FastForwardBackwardState(NamedTuple):
     seq_state: object
 
 
-@proxclass(meta_fields=("adaptive", "extrapolation"))
+@proxclass(meta_fields=("adaptive", "extrapolation", "backtrack_limit"))
 class FastForwardBackwardIteration:
     f: object
     g: object
@@ -49,6 +49,7 @@ class FastForwardBackwardIteration:
     increase_gamma: object
     adaptive: bool
     extrapolation: object  # static sequence strategy
+    backtrack_limit: object = None  # static: None = while_loop, int = bounded
 
     def init(self):
         x = self.x0
@@ -83,6 +84,7 @@ class FastForwardBackwardIteration:
                 s.res,
                 minimum_gamma=self.minimum_gamma,
                 reduce_gamma=self.reduce_gamma,
+                max_backtracks=self.backtrack_limit,
             )
             gamma, z = bt.gamma, bt.z
         else:
@@ -124,6 +126,7 @@ def make_fast_forward_backward_iteration(
     reduce_gamma=0.5,
     increase_gamma=1.0,
     extrapolation_sequence=None,
+    backtrack_limit=None,
 ):
     x0 = astree(x0)
     R = real_dtype(x0)
@@ -146,6 +149,7 @@ def make_fast_forward_backward_iteration(
         increase_gamma=rscalar(increase_gamma, R),
         adaptive=bool(adaptive),
         extrapolation=extrapolation,
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
     )
 
 

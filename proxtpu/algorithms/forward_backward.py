@@ -35,7 +35,7 @@ class ForwardBackwardState(NamedTuple):
     res: object
 
 
-@proxclass(meta_fields=("adaptive",))
+@proxclass(meta_fields=("adaptive", "backtrack_limit"))
 class ForwardBackwardIteration:
     f: object
     g: object
@@ -45,6 +45,7 @@ class ForwardBackwardIteration:
     reduce_gamma: object
     increase_gamma: object
     adaptive: bool
+    backtrack_limit: object = None  # static: None = while_loop, int = bounded
 
     def init(self):
         x = self.x0
@@ -76,6 +77,7 @@ class ForwardBackwardIteration:
                 s.res,
                 minimum_gamma=self.minimum_gamma,
                 reduce_gamma=self.reduce_gamma,
+                max_backtracks=self.backtrack_limit,
             )
             x, f_x, grad_f_x, gamma = bt.z, bt.f_Az, bt.grad_f_Az, bt.gamma
         else:
@@ -109,6 +111,7 @@ def make_forward_backward_iteration(
     minimum_gamma=1e-7,
     reduce_gamma=0.5,
     increase_gamma=1.0,
+    backtrack_limit=None,
 ):
     x0 = astree(x0)
     R = real_dtype(x0)
@@ -125,6 +128,7 @@ def make_forward_backward_iteration(
         reduce_gamma=rscalar(reduce_gamma, R),
         increase_gamma=rscalar(increase_gamma, R),
         adaptive=bool(adaptive),
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
     )
 
 

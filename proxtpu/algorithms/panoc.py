@@ -82,7 +82,7 @@ class _TauCarry(NamedTuple):
     abc_valid: jnp.ndarray
 
 
-@proxclass(meta_fields=("adaptive", "max_backtracks", "directions"))
+@proxclass(meta_fields=("adaptive", "max_backtracks", "directions", "backtrack_limit"))
 class PANOCIteration:
     f: object
     A: object
@@ -95,6 +95,7 @@ class PANOCIteration:
     adaptive: bool
     max_backtracks: int
     directions: object
+    backtrack_limit: object = None  # static: None = while_loop, int = bounded gamma-search
 
     def init(self):
         x, Ax, f_Ax, grad, At_grad, gamma, y, z, g_z, res = forward_backward_init(
@@ -115,6 +116,7 @@ class PANOCIteration:
                 s.gamma, self.f, self.A, self.g,
                 s.x, s.f_Ax, s.At_grad_f_Ax, s.y, s.z, s.g_z, s.res,
                 alpha=self.alpha, minimum_gamma=self.minimum_gamma,
+                max_backtracks=self.backtrack_limit,
             )
             gamma, y, z, g_z, res = bt.gamma, bt.y, bt.z, bt.g_z, bt.res
             Az, f_Az, grad_f_Az = bt.Az, bt.f_Az, bt.grad_f_Az
@@ -267,6 +269,7 @@ def make_panoc_iteration(
     adaptive=None,
     minimum_gamma=1e-7,
     max_backtracks=20,
+    backtrack_limit=None,
     directions=LBFGS(5),
 ):
     x0 = astree(x0)
@@ -280,6 +283,7 @@ def make_panoc_iteration(
         alpha=rscalar(alpha, R), beta=rscalar(beta, R),
         gamma=rscalar(gamma, R), minimum_gamma=rscalar(minimum_gamma, R),
         adaptive=bool(adaptive), max_backtracks=int(max_backtracks),
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
         directions=directions,
     )
 

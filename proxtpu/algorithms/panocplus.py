@@ -74,7 +74,7 @@ class _LSCarry(NamedTuple):
     dstate: object
 
 
-@proxclass(meta_fields=("adaptive", "max_backtracks", "directions"))
+@proxclass(meta_fields=("adaptive", "max_backtracks", "directions", "backtrack_limit"))
 class PANOCplusIteration:
     f: object
     A: object
@@ -87,6 +87,7 @@ class PANOCplusIteration:
     adaptive: bool
     max_backtracks: int
     directions: object
+    backtrack_limit: object = None  # static: None = while_loop, int = bounded gamma-search
 
     def init(self):
         x, Ax, f_Ax, grad, At_grad, gamma, y, z, g_z, res = forward_backward_init(
@@ -97,6 +98,7 @@ class PANOCplusIteration:
                 gamma, self.f, self.A, self.g,
                 x, f_Ax, At_grad, y, z, g_z, res,
                 alpha=self.alpha, minimum_gamma=self.minimum_gamma,
+                max_backtracks=self.backtrack_limit,
             )
             gamma, y, z, g_z, res = bt.gamma, bt.y, bt.z, bt.g_z, bt.res
             grad_f_Az = bt.grad_f_Az
@@ -230,6 +232,7 @@ def make_panocplus_iteration(
     adaptive=None,
     minimum_gamma=1e-7,
     max_backtracks=20,
+    backtrack_limit=None,
     directions=LBFGS(5),
 ):
     x0 = astree(x0)
@@ -246,6 +249,7 @@ def make_panocplus_iteration(
         alpha=rscalar(alpha, R), beta=rscalar(beta, R),
         gamma=rscalar(gamma, R), minimum_gamma=rscalar(minimum_gamma, R),
         adaptive=bool(adaptive), max_backtracks=int(max_backtracks),
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
         directions=directions,
     )
 

@@ -68,7 +68,7 @@ class _Trial(NamedTuple):
     FBE: jnp.ndarray
 
 
-@proxclass(meta_fields=("adaptive", "max_backtracks", "directions"))
+@proxclass(meta_fields=("adaptive", "max_backtracks", "directions", "backtrack_limit"))
 class ZeroFPRIteration:
     f: object
     A: object
@@ -81,6 +81,7 @@ class ZeroFPRIteration:
     adaptive: bool
     max_backtracks: int
     directions: object
+    backtrack_limit: object = None  # static: None = while_loop, int = bounded gamma-search
 
     def init(self):
         x, Ax, f_Ax, grad, At_grad, gamma, y, xbar, g_xbar, res = (
@@ -102,6 +103,7 @@ class ZeroFPRIteration:
                 s.gamma, self.f, self.A, self.g,
                 s.x, s.f_Ax, s.At_grad_f_Ax, s.y, s.xbar, s.g_xbar, s.res,
                 alpha=self.alpha, minimum_gamma=self.minimum_gamma,
+                max_backtracks=self.backtrack_limit,
             )
             gamma, g_xbar, xbar, res = bt.gamma, bt.g_z, bt.z, bt.res
             Axbar, grad_f_Axbar, f_Axbar_upp = bt.Az, bt.grad_f_Az, bt.f_Az_upp
@@ -198,6 +200,7 @@ def make_zerofpr_iteration(
     adaptive=None,
     minimum_gamma=1e-7,
     max_backtracks=20,
+    backtrack_limit=None,
     directions=LBFGS(5),
 ):
     x0 = astree(x0)
@@ -211,6 +214,7 @@ def make_zerofpr_iteration(
         alpha=rscalar(alpha, R), beta=rscalar(beta, R),
         gamma=rscalar(gamma, R), minimum_gamma=rscalar(minimum_gamma, R),
         adaptive=bool(adaptive), max_backtracks=int(max_backtracks),
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
         directions=directions,
     )
 

@@ -261,5 +261,7 @@ def solve_box_qp_batch_blocked(Q, q, lo, hi, Lip, tol, maxit=10_000,
         return (k, x, done | newly_done, iters)
 
     k, x, done, iters = jax.lax.while_loop(cond, body, init)
-    iters = jnp.where(done, iters, k)
+    # K-blocked loop can overshoot maxit by up to K-1; clamp the report to
+    # the maxit contract (matching solve_box_qp_batch's exact cap).
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
     return x, iters, done

@@ -335,5 +335,8 @@ def solve_lasso_batch_blocked(
         return (k, x, z_prev, t, done | newly_done, iters)
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
-    iters = jnp.where(done, iters, k)
+    # The loop advances K iterations at a time from k=1, so unconverged lanes
+    # may have run up to maxit+K-1 steps; clamp the *report* to the maxit
+    # contract (matching solve_lasso_batch's exact cap).
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
     return z, iters, done

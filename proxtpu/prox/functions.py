@@ -112,7 +112,7 @@ class NuclearNorm:
         U, s, Vh = jnp.linalg.svd(X, full_matrices=False)
         lam = _rparam(self.lam, X)
         s_thr = jnp.maximum(s - gamma * lam, 0)
-        Z = (U * s_thr[None, :].astype(U.dtype)) @ Vh
+        Z = pdot(U * s_thr[None, :].astype(U.dtype), Vh)
         return Z, lam * jnp.sum(s_thr)
 
 
@@ -281,7 +281,7 @@ class IndAffine:
 def make_ind_affine(A, b):
     A = jnp.asarray(A)
     b = jnp.asarray(b)
-    gram = A @ A.conj().T
+    gram = pdot(A, A.conj().T)
     chol = jax.scipy.linalg.cholesky(gram, lower=True)
     return IndAffine(A, b, chol)
 
@@ -336,9 +336,11 @@ def make_least_squares(A, b, lam=1.0):
     b = jnp.asarray(b)
     m, n = A.shape
     wide = m < n
-    gram = A @ A.conj().T if wide else A.conj().T @ A
+    # pdot even at construction: these run eagerly on the default (TPU) device
+    # and the Gram eigendecomposition / Atb are baked into every prox call.
+    gram = pdot(A, A.conj().T) if wide else pdot(A.conj().T, A)
     s, U = jnp.linalg.eigh(gram)
-    return LeastSquares(A, b, lam, U, s, A.conj().T @ b, wide)
+    return LeastSquares(A, b, lam, U, s, pdot(A.conj().T, b), wide)
 
 
 @proxclass

@@ -73,6 +73,7 @@ def backtrack_stepsize(
     alpha=1.0,
     minimum_gamma=1e-7,
     reduce_gamma=0.5,
+    max_backtracks=None,
 ):
     """Armijo-style sufficient-decrease backtracking on the quadratic model.
 
@@ -81,6 +82,21 @@ def backtrack_stepsize(
     ``backtrack_stepsize!`` (``fb_tools.jl:24-63``).  The incoming
     ``y/z/g_z/res`` must be consistent with the *incoming* gamma, exactly as
     in the reference call sites; they are only recomputed once gamma shrinks.
+
+    ``max_backtracks=None`` (default) runs a data-dependent
+    ``lax.while_loop`` — exact reference semantics, and cheapest for
+    single-problem solves (zero body executions when the model already
+    holds).  ``max_backtracks=T`` (a static int) runs a *bounded*
+    ``lax.fori_loop`` of exactly T masked trials instead: once the accept
+    condition (or the ``minimum_gamma`` floor) is hit, later trials are
+    computed but discarded via ``where``-selects.  The result is identical
+    whenever the while-loop would have stopped within T halvings — and the
+    reference itself bounds the search by ``minimum_gamma``
+    (``fb_tools.jl:24-63``), so ``T >= log2(gamma0/minimum_gamma)`` makes
+    the two modes exactly equivalent.  The bounded form is what makes
+    ``adaptive=True`` batchable: a nested data-dependent while-loop under
+    ``vmap`` compiles pathologically on TPU (~390 s at tiny shapes), while
+    the fixed-trip loop compiles like any other scan.
     """
     eps = eps_of(x)
 
@@ -88,11 +104,11 @@ def backtrack_stepsize(
     Az0 = A.matvec(z)
     f_Az0, grad_f_Az0 = value_and_gradient(f, Az0)
 
-    def cond(c):
+    def accept(c):
         tol = 10 * eps * (1 + jnp.abs(c.f_Az))
-        return (c.f_Az > c.f_Az_upp + tol) & (c.gamma >= minimum_gamma)
+        return (c.f_Az <= c.f_Az_upp + tol) | (c.gamma < minimum_gamma)
 
-    def body(c):
+    def trial(c):
         gamma = c.gamma * reduce_gamma
         y = tree_map(lambda xl, gl: xl - gamma * gl, x, At_grad_f_Ax)
         z, g_z = prox(g, y, gamma)
@@ -106,4 +122,17 @@ def backtrack_stepsize(
         jnp.asarray(gamma), y, z, jnp.asarray(g_z), res, Az0, f_Az0, grad_f_Az0,
         jnp.asarray(f_Az_upp0),
     )
-    return jax.lax.while_loop(cond, body, init)
+
+    if max_backtracks is None:
+        return jax.lax.while_loop(
+            lambda c: jnp.logical_not(accept(c)), trial, init
+        )
+
+    def masked_trial(_, c):
+        new = trial(c)
+        keep = accept(c)  # already accepted -> discard this trial
+        return jax.tree.map(
+            lambda old, cand: jnp.where(keep, old, cand), c, new
+        )
+
+    return jax.lax.fori_loop(0, int(max_backtracks), masked_trial, init)

@@ -28,12 +28,23 @@ _NAMES = {
 
 def set_matmul_precision(precision):
     """Set the library-wide matvec precision ("default" | "high" | "highest"
-    or a ``jax.lax.Precision``).  Returns the previous setting."""
+    or a ``jax.lax.Precision``).  Returns the previous setting.
+
+    The setting is read at *trace* time, so already-compiled programs would
+    silently keep the old precision; to make the change take effect
+    immediately this drops JAX's compilation caches (``jax.clear_caches``)
+    whenever the value actually changes.  Subsequent solver calls recompile
+    at the new precision.
+    """
     global _PRECISION
     prev = _PRECISION
     if isinstance(precision, str):
         precision = _NAMES[precision]
     _PRECISION = precision
+    if precision is not prev:
+        # The global is not part of any jit cache key; invalidate compiled
+        # code that baked in the previous precision.
+        jax.clear_caches()
     return prev
 
 

@@ -109,6 +109,58 @@ def test_fista_custom_extrapolation(dtype):
     check(x, it, x_star, dtype, 100)
 
 
+# --- AFBA on lasso: the reference's three routing configs with fences
+# (``test/problems/test_lasso_small.jl:233-272``): (a) smooth f + beta_f,
+# (b) the h = g dual route over L = I, (c) h∘L with the proxable data term.
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_afba_smooth_f(dtype):
+    """AFBA(theta=1, mu=1) with f smooth + g = ||.||_1, fence <= 80."""
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.AFBA(theta=1, mu=1, tol=1e-6)
+    (x, y), it = solver(
+        x0=x0, y0=jnp.zeros_like(x0), f=fA_ad, g=g, beta_f=Lf,
+    )
+    assert x.dtype == jnp.dtype(dtype)
+    assert y.dtype == jnp.dtype(dtype)
+    assert float(jnp.max(jnp.abs(x - x_star))) <= 1e-4
+    assert it <= 80
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_afba_h_equals_g(dtype):
+    """AFBA with the l1 term routed through the *dual* (h = g, L = I),
+    fence <= 100."""
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    solver = pa.AFBA(theta=1, mu=1, tol=1e-6)
+    (x, y), it = solver(
+        x0=x0, y0=jnp.zeros_like(x0), f=fA_ad, h=g, beta_f=Lf,
+    )
+    assert x.dtype == jnp.dtype(dtype)
+    assert y.dtype == jnp.dtype(dtype)
+    assert float(jnp.max(jnp.abs(x - x_star))) <= 1e-4
+    assert it <= 100
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_afba_h_compose_L(dtype):
+    """AFBA with the data term as h(Lx), h = ||. - b||^2/2 proxable, L = A,
+    fence <= 150."""
+    from proxtpu.prox import SqrNormL2, Translate
+
+    A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)
+    f_prox = Translate(SqrNormL2(1.0), -b)  # h(u) = ||u - b||^2 / 2
+    solver = pa.AFBA(theta=1, mu=1, tol=1e-6)
+    (x, y), it = solver(
+        x0=x0, y0=jnp.zeros(A.shape[0], dtype), h=f_prox, L=A, g=g,
+    )
+    assert x.dtype == jnp.dtype(dtype)
+    assert y.dtype == jnp.dtype(dtype)
+    assert float(jnp.max(jnp.abs(x - x_star))) <= 1e-4
+    assert it <= 150
+
+
 @pytest.mark.parametrize("dtype", [jnp.float64])
 def test_x0_not_mutated(dtype):
     A, b, fA, fA_ad, g, Lf, x_star, x0 = setup(dtype)

@@ -68,10 +68,14 @@ def test_tiny(name):
 
 
 @pytest.mark.parametrize("name", SOLVERS)
-@pytest.mark.parametrize("k", [1, 2, 3])
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5])
 def test_random_100d(name, k):
+    """Five seeded 100-d instances per solver, with the reference's per-run
+    x0-immutability assert (``test_nonconvex_qp.jl:69-135``)."""
     Q, q, low, upp, gamma = random_problem(k)
     f, g = make_problem(Q, q, low, upp)
     x0 = jnp.zeros(100, jnp.float64)
+    x0_backup = jnp.array(x0)
     x, it = run_solver(name, f, g, x0, gamma)
     assert residual_ok(x, Q, q, low, upp, gamma, TOL)
+    assert bool(jnp.all(x0 == x0_backup))

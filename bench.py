@@ -93,35 +93,58 @@ def run_jax(As, bs, lams, Lfs):
     lam = jnp.asarray(lams)
     Lf = jnp.asarray(Lfs)
 
-    def solve():
+    def solve(tol=TOL, maxit=MAXIT):
         if use_kernel:
             # fastest correct solver: K-step iteration blocking (same
             # trajectory; stopping sampled every K steps, solutions at
             # least as converged as the per-iteration-checked solver)
             xs, iters, done = solve_lasso_batch_blocked(
-                A, b, lam, Lf, TOL, maxit=MAXIT, iter_block=8
+                A, b, lam, Lf, tol, maxit=maxit, iter_block=8
             )
         else:
             xs, iters, done = solve_lasso_batch(
-                A, b, lam, Lf, TOL, maxit=MAXIT, use_kernel=False
+                A, b, lam, Lf, tol, maxit=maxit, use_kernel=False
             )
         # NOTE: jax.block_until_ready does NOT actually block on the axon
         # backend; a host transfer is the only reliable completion fence.
         return np.asarray(xs), np.asarray(iters), np.asarray(done)
 
+    # Protocol (round-2 hardening): 1 warm/compile run, then >= 5 timed
+    # runs; report the MEDIAN (tunnel load makes the mean wander ~2x) and
+    # IQR, plus a compile-excluded fixed-iteration-count run so per-iteration
+    # time is comparable across rounds regardless of convergence behavior.
     xs, iters, done = solve()  # compile + warm
-    n_runs = 3
-    t0 = time.perf_counter()
+    n_runs = 5
+    times = []
     for _ in range(n_runs):
+        t0 = time.perf_counter()
         xs, iters, done = solve()
-    dt = (time.perf_counter() - t0) / n_runs
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    iqr = float(np.percentile(times, 75) - np.percentile(times, 25))
+
+    # fixed-iteration timing: tol=0 forces every lane to run exactly maxit
+    fixed_it = 512
+    solve(tol=0.0, maxit=fixed_it)  # compile this variant
+    t_fixed = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        solve(tol=0.0, maxit=fixed_it)
+        t_fixed.append(time.perf_counter() - t0)
+    per_iter_us = float(np.median(t_fixed)) / fixed_it * 1e6
+
     frac_done = float(np.mean(np.asarray(done)))
-    return BATCH / dt, float(np.mean(np.asarray(iters))), frac_done, platform
+    return (
+        BATCH / dt, float(np.mean(np.asarray(iters))), frac_done, platform,
+        iqr / dt, per_iter_us,
+    )
 
 
 def main():
     As, bs, lams, Lfs = gen_problems(BATCH)
-    jax_pps, jax_iters, frac_done, platform = run_jax(As, bs, lams, Lfs)
+    jax_pps, jax_iters, frac_done, platform, rel_iqr, per_iter_us = run_jax(
+        As, bs, lams, Lfs
+    )
     np_pps, np_iters = run_numpy_baseline(As, bs, lams, Lfs)
     print(
         json.dumps(
@@ -129,14 +152,17 @@ def main():
                 "metric": "batched_lasso_problems_per_sec",
                 "value": round(jax_pps, 3),
                 "unit": f"problems/s ({M}x{N} lasso to tol={TOL}, "
-                f"batch={BATCH}, {platform})",
+                f"batch={BATCH}, {platform}; median of 5, "
+                f"IQR {100 * rel_iqr:.0f}%, {per_iter_us:.0f} us/iter "
+                f"batch-{BATCH} fixed-512-it)",
                 "vs_baseline": round(jax_pps / np_pps, 3),
             }
         )
     )
     print(
         f"# detail: jax={jax_pps:.2f} p/s mean_it={jax_iters:.0f} "
-        f"converged={frac_done:.3f} | numpy={np_pps:.2f} p/s "
+        f"converged={frac_done:.3f} rel_iqr={rel_iqr:.3f} "
+        f"per_iter={per_iter_us:.1f}us | numpy={np_pps:.2f} p/s "
         f"mean_it={np_iters:.0f}",
         file=sys.stderr,
     )

@@ -39,6 +39,16 @@ def load_workload(file_name):
     return A, b, lam
 
 
+# Per-solver maxit raised above the library defaults (FB 10k, DR 1k) so that
+# every recorded row is an *actual solve to tol* — adaptive FB on lasso_tiny
+# and DR(gamma=1) on small/medium legitimately need >10k/>1k iterations at
+# tol=1e-6.  Rows that still cap are flagged converged=false.
+MAXIT = {
+    "ForwardBackward": 200_000,
+    "DouglasRachford": 100_000,
+}
+
+
 def solver_configs(A, b, lam, dtype):
     """The 10 configs of ``benchmark/benchmarks.jl:47-134``."""
     import jax.numpy as jnp
@@ -62,15 +72,17 @@ def solver_configs(A, b, lam, dtype):
     opn2 = float(np.linalg.norm(A, 2) ** 2)
 
     return {
-        "ForwardBackward": (pa.ForwardBackward(tol=1e-6),
-                            dict(x0=x0, f=fls, g=g)),
+        "ForwardBackward": (
+            pa.ForwardBackward(tol=1e-6, maxit=MAXIT["ForwardBackward"]),
+            dict(x0=x0, f=fls, g=g)),
         "FastForwardBackward": (pa.FastForwardBackward(tol=1e-6),
                                 dict(x0=x0, f=fls, g=g)),
         "ZeroFPR": (pa.ZeroFPR(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
         "PANOC": (pa.PANOC(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
         "PANOCplus": (pa.PANOCplus(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
-        "DouglasRachford": (pa.DouglasRachford(tol=1e-6),
-                            dict(x0=x0, f=fls, g=g, gamma=1.0)),
+        "DouglasRachford": (
+            pa.DouglasRachford(tol=1e-6, maxit=MAXIT["DouglasRachford"]),
+            dict(x0=x0, f=fls, g=g, gamma=1.0)),
         "DRLS": (pa.DRLS(tol=1e-6), dict(x0=x0, f=fls, g=g, Lf=opn2)),
         "AFBA-1": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6),
                    dict(x0=x0, y0=jnp.zeros(n, dtype), f=fls, g=g,
@@ -120,7 +132,9 @@ def main():
                 "workload": wname,
                 "solver": sname,
                 "min_ms": round(min(times) * 1e3, 3),
+                "median_ms": round(float(np.median(times)) * 1e3, 3),
                 "iters": int(it),
+                "converged": int(it) < solver.maxit,
                 "platform": platform,
                 "dtype": str(dtype),
             }

@@ -1,0 +1,129 @@
+"""Multi-device scaling-efficiency harness for the dp-sharded batched solve.
+
+Runs the batched lasso solver with the scenario batch sharded over a 1-axis
+('dp') mesh of 1/2/4/.../N devices — weak scaling: a fixed per-device batch,
+so perfect scaling doubles problems/s when the device count doubles.
+Reports problems/s and efficiency vs the 1-device run:
+
+    efficiency(d) = p/s(d) / (d * p/s(1))
+
+The north-star target (BASELINE.json) is >= 80% multi-host efficiency.  On
+this environment the mesh is either the single real TPU chip (no multi-chip
+hardware) or N virtual CPU devices (plumbing validation only — virtual
+devices share host cores, so "efficiency" there validates the sharded
+program, not ICI bandwidth).  The same entry point runs unchanged on a real
+pod slice: `python benchmarks/scaling.py --platform tpu --devices 1,2,4,8`.
+
+Prints one JSON line per device count.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_problems(batch, m, n, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    As = (rng.standard_normal((batch, m, n)) / np.sqrt(m)).astype(dtype)
+    bs = rng.standard_normal((batch, m)).astype(dtype)
+    lams = (0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1)
+            ).astype(dtype)
+    Lfs = np.array([np.linalg.norm(As[i], 2) ** 2 for i in range(batch)],
+                   dtype=dtype)
+    return As, bs, lams, Lfs
+
+
+def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from proxtpu.kernels.lasso import solve_lasso_batch
+
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("dp",))
+    B = batch_per_device * d
+    As, bs, lams, Lfs = gen_problems(B, m, n)
+
+    shard = lambda x, spec: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, spec)
+    )
+    A = shard(As, P("dp", None, None))
+    b = shard(bs, P("dp", None))
+    lam = shard(lams, P("dp"))
+    Lf = shard(Lfs, P("dp"))
+
+    def solve():
+        xs, iters, done = solve_lasso_batch(
+            A, b, lam, Lf, tol, maxit=maxit, use_kernel=False
+        )
+        # host-transfer fence (block_until_ready is unreliable on axon)
+        return np.asarray(xs), np.asarray(iters), np.asarray(done)
+
+    with mesh:
+        xs, iters, done = solve()  # compile + warm
+        times = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            solve()
+            times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {
+        "devices": d,
+        "batch": B,
+        "problems_per_sec": round(B / dt, 2),
+        "mean_iters": round(float(iters.mean()), 1),
+        "converged": bool(done.all()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated device counts (default 1,2,...,N)")
+    ap.add_argument("--batch-per-device", type=int, default=64)
+    ap.add_argument("--m", type=int, default=200)
+    ap.add_argument("--n", type=int, default=400)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--maxit", type=int, default=2000)
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform == "cpu" and "XLA_FLAGS" not in os.environ:
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    n_dev = len(jax.devices())
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = [1 << i for i in range(n_dev.bit_length()) if (1 << i) <= n_dev]
+
+    base = None
+    for d in counts:
+        if d > n_dev:
+            print(json.dumps({"devices": d, "skipped": "not enough devices"}))
+            continue
+        rec = run_at_device_count(
+            d, args.batch_per_device, args.m, args.n, args.tol, args.maxit,
+            args.repeat,
+        )
+        if base is None:
+            base = rec["problems_per_sec"] / rec["devices"]
+        rec["efficiency_vs_1dev"] = round(
+            rec["problems_per_sec"] / (rec["devices"] * base), 3
+        )
+        rec["platform"] = jax.devices()[0].platform
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Automatic kernel-path dispatch for batched solves.
+
+The generic vmapped driver (:func:`proxtpu.parallel.batch.batched_run_loop`)
+runs *any* algorithm on *any* problem, but the two workloads with fused
+Pallas kernels — batched lasso-FISTA (:mod:`proxtpu.kernels.lasso`) and
+batched box-QP projected gradient (:mod:`proxtpu.kernels.box_qp`) — are
+several times faster through the kernels, which read the operator from HBM
+once (or once per K iterations) per step instead of twice.
+
+:func:`match_kernel_solver` recognizes those problem shapes structurally
+(factory + function classes + default options) and returns a ready-to-run
+closure, or ``None`` when the problem does not match exactly — the caller
+then falls back to the generic driver.  Matching is deliberately
+conservative: any nonstandard option (adaptive steps, custom extrapolation,
+custom stopping/solution, nonzero x0) disables the fast path.
+
+Semantics of the fast path vs the generic driver (pinned by
+``tests/test_kernels.py`` / ``tests/test_dispatch.py``): identical fixed
+points and stopping rule; per-lane iteration counts match up to the f32
+last-bit boundary (±1), and up to ``iter_block-1`` *sampling* slack when the
+iteration-blocked kernel is used (counts are then an upper bound — lanes are
+never reported converged before they are).
+
+Reference semantics anchor: the driver contract of
+``/root/reference/src/ProximalAlgorithms.jl:114-123`` (the dispatch changes
+how a solve runs, never what it returns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_default_backend_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def _concrete_all_zero(x):
+    try:
+        return not bool(np.any(np.asarray(x)))
+    except Exception:
+        return False
+
+
+def _scalar_or_vec(v, B, dtype):
+    """Broadcast a scalar / (B,) parameter to a (B,) array, or None."""
+    arr = jnp.asarray(v)
+    if arr.ndim == 0:
+        return jnp.full((B,), arr, dtype)
+    if arr.shape == (B,):
+        return arr.astype(dtype)
+    return None
+
+
+def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
+                        solution=None, iter_block=8, interpret=None):
+    """Return ``run() -> (xs, iters, done)`` for a kernel-dispatchable
+    batched problem, or ``None``.
+
+    Recognized shapes:
+
+    * ``make_fast_forward_backward_iteration`` + ``LeastSquaresLoss``/
+      ``LeastSquares`` (stacked A (B,M,N), b (B,M), lam=1) + ``NormL1`` +
+      fixed stepsize (``Lf`` or ``gamma``) + zero x0 + default Nesterov
+      sequence  →  fused lasso FISTA.
+    * ``make_forward_backward_iteration`` + ``Quadratic`` (stacked Q, q) +
+      ``IndBox`` (scalar bounds) + fixed per-lane ``gamma`` + zero x0
+      →  fused box-QP projected gradient.
+    """
+    if stop is not None or solution is not None:
+        return None
+    # option defaults only — any customization falls back to the generic path
+    if kwargs.get("adaptive"):
+        return None
+    if kwargs.get("extrapolation_sequence") is not None:
+        return None
+    if float(kwargs.get("mf", 0.0) or 0.0) != 0.0:
+        return None
+    x0 = kwargs.get("x0")
+    if x0 is None or not _concrete_all_zero(x0):
+        return None
+
+    f = kwargs.get("f")
+    g = kwargs.get("g")
+    name = getattr(factory, "__name__", "")
+
+    # interpret=None: real kernel on TPU, pure-XLA einsum step elsewhere
+    on_tpu = _is_default_backend_tpu() if interpret is None else True
+
+    if name == "make_fast_forward_backward_iteration":
+        from ..prox.functions import LeastSquares, LeastSquaresLoss, NormL1
+
+        if not isinstance(f, (LeastSquares, LeastSquaresLoss)):
+            return None
+        if not isinstance(g, NormL1):
+            return None
+        A, b = jnp.asarray(f.A), jnp.asarray(f.b)
+        if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
+            return None
+        B = A.shape[0]
+        flam = jnp.asarray(getattr(f, "lam", 1.0))
+        if not bool(jnp.all(flam == 1.0)):
+            return None
+        lam = _scalar_or_vec(g.lam, B, A.dtype)
+        if lam is None:
+            return None
+        Lf, gamma = kwargs.get("Lf"), kwargs.get("gamma")
+        if gamma is not None:
+            Lfv = _scalar_or_vec(gamma, B, A.dtype)
+            Lfv = None if Lfv is None else 1.0 / Lfv
+        elif Lf is not None:
+            Lfv = _scalar_or_vec(Lf, B, A.dtype)
+        else:
+            return None  # adaptive-free solve needs an explicit stepsize
+        if Lfv is None:
+            return None
+
+        from .lasso import solve_lasso_batch, solve_lasso_batch_blocked
+
+        def run():
+            if on_tpu and interpret is not True:
+                z, it, done = solve_lasso_batch_blocked(
+                    A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block
+                )
+            elif interpret:
+                z, it, done = solve_lasso_batch(
+                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
+                    interpret=True,
+                )
+            else:
+                z, it, done = solve_lasso_batch(
+                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False
+                )
+            return z, it, done
+
+        return run
+
+    if name == "make_forward_backward_iteration":
+        from ..prox.functions import IndBox, Quadratic
+
+        if not isinstance(f, Quadratic):
+            return None
+        if not isinstance(g, IndBox):
+            return None
+        Q, q = jnp.asarray(f.Q), jnp.asarray(f.q)
+        if Q.ndim != 3 or q.ndim != 2 or Q.shape[1] != Q.shape[2]:
+            return None
+        B = Q.shape[0]
+        lo, hi = jnp.asarray(g.low), jnp.asarray(g.high)
+        if lo.ndim != 0 or hi.ndim != 0 or not (
+            bool(jnp.isfinite(lo)) and bool(jnp.isfinite(hi))
+        ):
+            return None
+        gamma = kwargs.get("gamma")
+        Lf = kwargs.get("Lf")
+        if gamma is not None:
+            gv = _scalar_or_vec(gamma, B, Q.dtype)
+        elif Lf is not None:
+            Lfv = _scalar_or_vec(Lf, B, Q.dtype)
+            gv = None if Lfv is None else 1.0 / Lfv
+        else:
+            return None
+        if gv is None:
+            return None
+        Lip = 0.95 / gv  # the kernel sets gamma = 0.95 / Lip per lane
+
+        from .box_qp import solve_box_qp_batch, solve_box_qp_batch_blocked
+
+        def run():
+            if on_tpu and interpret is not True:
+                x, it, done = solve_box_qp_batch_blocked(
+                    Q, q, lo, hi, Lip, tol, maxit=maxit,
+                    iter_block=iter_block,
+                )
+            elif interpret:
+                x, it, done = solve_box_qp_batch(
+                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=True,
+                    interpret=True,
+                )
+            else:
+                x, it, done = solve_box_qp_batch(
+                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=False
+                )
+            return x, it, done
+
+        return run
+
+    return None

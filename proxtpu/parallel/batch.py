@@ -215,19 +215,40 @@ class BatchedAlgorithm:
         xs, iters, done = solver(x0=X0, f=batched_f, g=batched_g, Lf=Lfs)
 
     Non-batched kwargs are broadcast by the factory itself when scalar.
+
+    ``use_kernels="auto"`` (default) routes recognized problem shapes —
+    batched lasso FISTA and batched box-QP projected gradient with all
+    options at defaults — to the fused Pallas kernel solvers
+    (:mod:`proxtpu.kernels.dispatch`), which are several times faster on
+    TPU; anything unrecognized runs the generic vmapped driver.  Pass
+    ``use_kernels=False`` to force the generic path (exact per-lane count
+    parity with single solves), or ``use_kernels="interpret"`` to exercise
+    the kernel path in Pallas interpret mode on CPU.
     """
 
     def __init__(self, iteration_factory, *, maxit, tol, stop=None,
-                 solution=None, **kwargs):
+                 solution=None, use_kernels="auto", **kwargs):
         self.iteration_factory = iteration_factory
         self.maxit = maxit
         self.tol = tol
         self.stop = stop
         self.solution = solution
+        self.use_kernels = use_kernels
         self.kwargs = kwargs
 
     def __call__(self, **kwargs):
         merged = {**self.kwargs, **kwargs}
+        if self.use_kernels:
+            from ..kernels.dispatch import match_kernel_solver
+
+            run = match_kernel_solver(
+                self.iteration_factory, merged,
+                tol=self.tol, maxit=self.maxit,
+                stop=self.stop, solution=self.solution,
+                interpret=True if self.use_kernels == "interpret" else None,
+            )
+            if run is not None:
+                return run()
         iteration = self.iteration_factory(**merged)
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,

@@ -1,0 +1,167 @@
+"""Kernel-path auto-dispatch: BatchedAlgorithm must route recognized shapes
+to the fused kernel solvers and fall back to the generic driver otherwise,
+with matching results either way.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from proxtpu.algorithms.fast_forward_backward import (
+    make_fast_forward_backward_iteration,
+)
+from proxtpu.algorithms.forward_backward import make_forward_backward_iteration
+from proxtpu.kernels.dispatch import match_kernel_solver
+from proxtpu.parallel.batch import BatchedAlgorithm
+from proxtpu.prox import IndBox, LeastSquaresLoss, NormL1, Quadratic
+
+B, M, N = 4, 16, 24
+TOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def lasso():
+    rng = np.random.default_rng(0)
+    A = jnp.asarray((rng.standard_normal((B, M, N)) / np.sqrt(M)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1),
+        jnp.float32,
+    )
+    Lf = jnp.asarray(
+        [np.linalg.norm(np.asarray(A[i]), 2) ** 2 for i in range(B)], jnp.float32
+    )
+    return A, b, lam, Lf
+
+
+def lasso_kwargs(A, b, lam, Lf):
+    return dict(
+        x0=jnp.zeros((B, N), jnp.float32),
+        f=LeastSquaresLoss(A, b),
+        g=NormL1(lam),
+        Lf=Lf,
+    )
+
+
+def test_lasso_matches_and_agrees_with_generic(lasso):
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is not None
+
+    fast = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL
+    )
+    xs_f, it_f, d_f = fast(**kw)
+    # generic path: vmap-stacked per-lane iteration through the vmapped driver
+    from proxtpu.parallel.batch import batched_run_loop
+
+    iteration = jax.vmap(
+        lambda Ai, bi, li, Li: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N, jnp.float32),
+            f=LeastSquaresLoss(Ai, bi),
+            g=NormL1(li),
+            gamma=1.0 / Li,
+        )
+    )(A, b, lam, Lf)
+    xs_s, it_s, d_s = batched_run_loop(iteration, 3000, TOL)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=1e-4)
+    # kernel counts are an upper bound (±1 f32 boundary, +iter_block-1
+    # sampling slack when blocked); on CPU the dispatch runs the one-step
+    # einsum path, so only the ±1 boundary applies
+    assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1
+
+
+def test_lasso_interpret_kernel_path(lasso):
+    """use_kernels='interpret' exercises the real Pallas kernel on CPU."""
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    fast = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL,
+        use_kernels="interpret",
+    )
+    xs, it, done = fast(**kw)
+    assert bool(jnp.all(done))
+    # fixed-point check per lane
+    for i in range(B):
+        x = np.asarray(xs[i], np.float64)
+        Ai = np.asarray(A[i], np.float64)
+        gi = 1.0 / float(Lf[i])
+        y = x - gi * (Ai.T @ (Ai @ x - np.asarray(b[i], np.float64)))
+        z = np.sign(y) * np.maximum(np.abs(y) - gi * float(lam[i]), 0)
+        assert np.max(np.abs(x - z)) / gi <= 2 * TOL
+
+
+def test_nonzero_x0_falls_back(lasso):
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    kw["x0"] = jnp.ones((B, N), jnp.float32)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is None
+
+
+def test_adaptive_falls_back(lasso):
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    kw.pop("Lf")
+    kw["adaptive"] = True
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is None
+
+
+def test_custom_stop_falls_back(lasso):
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000,
+        stop=lambda it, tol, s: True,
+    ) is None
+
+
+def test_box_qp_dispatch_matches_generic():
+    rng = np.random.default_rng(2)
+    n, Bq = 16, 4
+    Qs, qs, Lips = [], [], []
+    for _ in range(Bq):
+        U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        ev = 2 * rng.random(n) - 1
+        Q0 = (U @ np.diag(ev) @ U.T).astype(np.float32)
+        Qs.append(0.5 * (Q0 + Q0.T))
+        qs.append(rng.standard_normal(n).astype(np.float32))
+        Lips.append(np.max(np.abs(ev)))
+    Q = jnp.asarray(np.stack(Qs))
+    q = jnp.asarray(np.stack(qs))
+    gamma = jnp.asarray(0.95 / np.array(Lips, np.float32))
+
+    kw = dict(
+        x0=jnp.zeros((Bq, n), jnp.float32),
+        f=Quadratic(Q, q),
+        g=IndBox(-1.0, 1.0),
+        gamma=gamma,
+    )
+    assert match_kernel_solver(
+        make_forward_backward_iteration, kw, tol=1e-4, maxit=10_000
+    ) is not None
+
+    fast = BatchedAlgorithm(make_forward_backward_iteration, maxit=10_000,
+                            tol=1e-4)
+    xs_f, it_f, d_f = fast(**kw)
+    from proxtpu.parallel.batch import batched_run_loop
+
+    iteration = jax.vmap(
+        lambda Qi, qi, gi: make_forward_backward_iteration(
+            x0=jnp.zeros(n, jnp.float32),
+            f=Quadratic(Qi, qi),
+            g=IndBox(-1.0, 1.0),
+            gamma=gi,
+        )
+    )(Q, q, gamma)
+    xs_s, it_s, d_s = batched_run_loop(iteration, 10_000, 1e-4)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=2e-3)
+    assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1

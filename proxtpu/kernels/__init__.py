@@ -15,10 +15,16 @@ from .lasso import (
     solve_lasso_batch,
     solve_lasso_batch_blocked,
 )
+from .tv import (
+    fused_cp_k_steps,
+    reference_cp_step,
+    solve_tv_batch,
+)
 
 __all__ = [
     "fused_fb_prox_grad", "reference_fb_prox_grad", "solve_lasso_batch",
     "fused_fista_k_steps", "solve_lasso_batch_blocked",
     "fused_pg_box_step", "reference_pg_box_step", "solve_box_qp_batch",
     "fused_pg_box_k_steps", "solve_box_qp_batch_blocked",
+    "fused_cp_k_steps", "reference_cp_step", "solve_tv_batch",
 ]

@@ -1,0 +1,263 @@
+"""Fused Pallas TPU kernel for batched TV-denoising Chambolle-Pock steps.
+
+The TV workload (the flagship *new* workload family, BASELINE.md) solves
+
+    min_x  ||x - b||^2 / 2 + lam * ||grad x||_{2,1}
+
+per image via Chambolle-Pock = AFBA(theta=2, f=0, l=Ind0)
+(``/root/reference/src/algorithms/primal_dual.jl:157-158``; step algebra at
+lines 173-211).  With theta=2 and lam_relax=1 the update degenerates to the
+textbook CP iteration:
+
+    xbar = prox_g(x - g1 * L^T y)            g = ||. - b||^2/2
+    ybar = proj_{|.|<=lam}(y + g2 * L (2 xbar - x))   (prox of (lam|.|_{2,1})^*)
+    x, y <- xbar, ybar
+
+where L is the forward-difference 2-D gradient (Neumann boundary,
+:class:`proxtpu.ops.linops.Grad2DOperator`) and the dual prox is the
+pointwise projection onto the radius-lam 2-ball (the Moreau route the
+generic driver takes through ``convex_conjugate(NormL21)`` — identical
+math).
+
+Under the generic vmapped driver every iteration streams ~10 image planes
+through HBM between XLA fusions; here one kernel invocation runs K
+iterations with x / y / b resident in VMEM, so HBM sees each plane once per
+K iterations.  All stencils are VPU shifts (``jnp.roll`` + boundary masks) —
+there is no contraction in this workload, so the MXU is idle by nature.
+
+Stopping rule matches the AFBA driver exactly:
+``||xbar - x||_inf + ||ybar - y||_inf <= tol`` sampled every K iterations
+(counts are an upper bound, like :func:`proxtpu.kernels.lasso.solve_lasso_batch_blocked`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import auto_lanes
+
+
+def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
+    """One CP iteration on (H, W) VMEM arrays; returns (x', yx', yy', res)."""
+    # L^T y : negative divergence; the adjoint zeroes the last row/col of
+    # the dual field, and the backward difference's "prepend 0" is exactly
+    # roll(+1) once that boundary is zeroed (Grad2DOperator.rmatvec).
+    dxm = yx * row_mask
+    dym = yy * col_mask
+    div = (dxm - jnp.roll(dxm, 1, axis=0)) + (dym - jnp.roll(dym, 1, axis=1))
+    t = x + g1 * div                     # x - g1 * (-div) = x - g1 * L^T y
+    xbar = (t + g1 * b) / (1 + g1)       # prox of ||. - b||^2/2
+
+    mid = 2 * xbar - x
+    gx = (jnp.roll(mid, -1, axis=0) - mid) * row_mask
+    gy = (jnp.roll(mid, -1, axis=1) - mid) * col_mask
+    vx = yx + g2 * gx
+    vy = yy + g2 * gy
+    nrm = jnp.sqrt(vx * vx + vy * vy)
+    scale = jnp.where(nrm > lam, lam / jnp.maximum(nrm, 1e-30), 1.0)
+    ybx = vx * scale
+    yby = vy * scale
+
+    res = jnp.max(jnp.abs(xbar - x)) + jnp.maximum(
+        jnp.max(jnp.abs(ybx - yx)), jnp.max(jnp.abs(yby - yy))
+    )
+    return xbar, ybx, yby, res
+
+
+def _cp_k_steps_kernel(K):
+    def kernel(b_ref, x_ref, yx_ref, yy_ref, g1_ref, g2_ref, lam_ref,
+               xo_ref, yxo_ref, yyo_ref, res_ref):
+        L = b_ref.shape[0]
+        H, W = b_ref.shape[1], b_ref.shape[2]
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col_ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        row_mask = (row_ix < H - 1).astype(b_ref.dtype)
+        col_mask = (col_ix < W - 1).astype(b_ref.dtype)
+        for l in range(L):
+            b = b_ref[l]
+            g1 = g1_ref[l, 0, 0]
+            g2 = g2_ref[l, 0, 0]
+            lam = lam_ref[l, 0, 0]
+
+            def step(_, carry):
+                x, yx, yy, _res = carry
+                x, yx, yy, res = _cp_body(
+                    x, yx, yy, b, g1, g2, lam, row_mask, col_mask
+                )
+                return (x, yx, yy, res)
+
+            x, yx, yy, res = jax.lax.fori_loop(
+                0, K, step,
+                (x_ref[l], yx_ref[l], yy_ref[l],
+                 jnp.zeros((), b_ref.dtype)),
+            )
+            xo_ref[l] = x
+            yxo_ref[l] = yx
+            yyo_ref[l] = yy
+            res_ref[l] = res.reshape(1, 1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
+def fused_cp_k_steps(b, x, yx, yy, g1, g2, lam, K=8, interpret=False,
+                     lanes=None):
+    """Run K fused CP iterations for a batch of images in one kernel call.
+
+    Args:
+      b: (B, H, W) noisy images.  x: (B, H, W) primal iterates.
+      yx, yy: (B, H, W) dual-field components.  g1, g2, lam: (B,) scalars.
+
+    Returns (x, yx, yy, res) with res the last inner step's
+    ``||FPR_x||_inf + ||FPR_y||_inf`` per lane.
+    """
+    B, H, W = b.shape
+    dtype = b.dtype
+    # VMEM per lane ~ 4 arrays resident + ~6 temps; budget on 10 * H * W
+    L = auto_lanes(B, 10 * H * W * dtype.itemsize, lanes)
+    s3 = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (B,)).reshape(
+        B, 1, 1
+    )
+    vspec = lambda shape: pl.BlockSpec(
+        (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    xo, yxo, yyo, res = pl.pallas_call(
+        _cp_k_steps_kernel(K),
+        grid=(B // L,),
+        in_specs=[
+            vspec((H, W)), vspec((H, W)), vspec((H, W)), vspec((H, W)),
+            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+        ],
+        out_specs=[vspec((H, W)), vspec((H, W)), vspec((H, W)),
+                   vspec((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), dtype),
+            jax.ShapeDtypeStruct((B, H, W), dtype),
+            jax.ShapeDtypeStruct((B, H, W), dtype),
+            jax.ShapeDtypeStruct((B, 1, 1), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * K * B * H * W,
+            bytes_accessed=7 * B * H * W * dtype.itemsize,
+            transcendentals=K * B * H * W,
+        ),
+        interpret=interpret,
+    )(b, x, yx, yy, s3(g1), s3(g2), s3(lam))
+    return xo, yxo, yyo, res.reshape(B)
+
+
+def reference_cp_step(b, x, yx, yy, g1, g2, lam):
+    """Pure-XLA reference of one fused CP iteration (same math, batched)."""
+    H, W = b.shape[1], b.shape[2]
+    row_mask = (jnp.arange(H) < H - 1).astype(b.dtype)[None, :, None]
+    col_mask = (jnp.arange(W) < W - 1).astype(b.dtype)[None, None, :]
+    g1b = g1[:, None, None]
+    g2b = g2[:, None, None]
+    lamb = lam[:, None, None]
+
+    dxm = yx * row_mask
+    dym = yy * col_mask
+    div = (dxm - jnp.roll(dxm, 1, axis=1)) + (dym - jnp.roll(dym, 1, axis=2))
+    t = x + g1b * div
+    xbar = (t + g1b * b) / (1 + g1b)
+    mid = 2 * xbar - x
+    gx = (jnp.roll(mid, -1, axis=1) - mid) * row_mask
+    gy = (jnp.roll(mid, -1, axis=2) - mid) * col_mask
+    vx = yx + g2b * gx
+    vy = yy + g2b * gy
+    nrm = jnp.sqrt(vx * vx + vy * vy)
+    scale = jnp.where(nrm > lamb, lamb / jnp.maximum(nrm, 1e-30), 1.0)
+    ybx = vx * scale
+    yby = vy * scale
+    res = jnp.max(jnp.abs(xbar - x), axis=(1, 2)) + jnp.maximum(
+        jnp.max(jnp.abs(ybx - yx), axis=(1, 2)),
+        jnp.max(jnp.abs(yby - yy), axis=(1, 2)),
+    )
+    return xbar, ybx, yby, res
+
+
+def default_tv_stepsizes(dtype=jnp.float32):
+    """The AFBA theta=2 default stepsizes for L = Grad2D (||L|| = sqrt(8),
+    beta_f = beta_l = 0): g1 = 1/||L||, g2 = 0.99/||L||
+    (``primal_dual.jl:334-427`` Vu-Condat branch)."""
+    nmL = 8.0 ** 0.5
+    return 1.0 / nmL, 0.99 / nmL
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
+                     "lanes"),
+)
+def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
+                   gamma2=None, use_kernel=True, interpret=False,
+                   lanes=None):
+    """Batched TV denoising by iteration-blocked fused Chambolle-Pock.
+
+    Matches the generic vmapped AFBA/CP driver's trajectory and stopping
+    rule (``||FPR_x||_inf + ||FPR_y||_inf <= tol``); convergence is sampled
+    every ``iter_block`` iterations, so per-lane counts are an upper bound
+    (lanes are never reported converged before they are), and the iteration
+    count includes the init step — iteration 1 — exactly like the driver.
+
+    Returns (x, iters, done).
+    """
+    B, H, W = b.shape
+    dtype = b.dtype
+    g1d, g2d = default_tv_stepsizes(dtype)
+    g1 = jnp.broadcast_to(
+        jnp.asarray(g1d if gamma1 is None else gamma1, dtype), (B,)
+    )
+    g2 = jnp.broadcast_to(
+        jnp.asarray(g2d if gamma2 is None else gamma2, dtype), (B,)
+    )
+    lam_v = jnp.broadcast_to(jnp.asarray(lam, dtype), (B,))
+
+    if use_kernel:
+        kstep = partial(fused_cp_k_steps, interpret=interpret, lanes=lanes)
+        step_fn = lambda b_, x, yx, yy, K: kstep(
+            b_, x, yx, yy, g1, g2, lam_v, K=K
+        )
+    else:
+        def step_fn(b_, x, yx, yy, K):
+            def one(_, c):
+                x, yx, yy, _ = c
+                return reference_cp_step(b_, x, yx, yy, g1, g2, lam_v)
+
+            return jax.lax.fori_loop(
+                0, K, one,
+                (x, yx, yy, jnp.zeros((B,), dtype)),
+            )
+
+    x0 = jnp.zeros((B, H, W), dtype)
+    y0 = jnp.zeros((B, H, W), dtype)
+    # init = one driver step (iteration 1)
+    x, yx, yy, res = step_fn(b, x0, y0, y0, 1)
+    done0 = res <= tol
+    init = (jnp.asarray(1, jnp.int32), x, yx, yy, done0,
+            jnp.ones((B,), jnp.int32))
+    K = iter_block
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+
+    def body(c):
+        k, x, yx, yy, done, iters = c
+        xn, yxn, yyn, res = step_fn(b, x, yx, yy, K)
+        keep = done[:, None, None]
+        x = jnp.where(keep, x, xn)
+        yx = jnp.where(keep, yx, yxn)
+        yy = jnp.where(keep, yy, yyn)
+        k = k + K
+        newly_done = res <= tol
+        iters = jnp.where(done, iters, k)
+        return (k, x, yx, yy, done | newly_done, iters)
+
+    k, x, yx, yy, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
+    return x, iters, done

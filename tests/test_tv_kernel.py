@@ -1,0 +1,145 @@
+"""Fused TV/Chambolle-Pock kernel: parity with the generic AFBA driver.
+
+Three layers of evidence (mirroring the lasso-kernel test strategy):
+1. the fused step's math equals the generic AFBA(theta=2, f=0, l=Ind0)
+   update (same xbar/ybar to f32 roundoff);
+2. the Pallas kernel (interpret mode) equals the pure-XLA reference step;
+3. the blocked solver reaches the same fixed point as the generic
+   batched driver with upper-bound iteration counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from proxtpu.algorithms.primal_dual import make_chambolle_pock_iteration
+from proxtpu.kernels.tv import (
+    default_tv_stepsizes,
+    fused_cp_k_steps,
+    reference_cp_step,
+    solve_tv_batch,
+)
+from proxtpu.ops.linops import Grad2DOperator
+from proxtpu.parallel.batch import batched_run_loop
+from proxtpu.prox import NormL21, SqrDistance
+
+B, H, W = 4, 16, 24
+LAM = 0.12
+TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    rng = np.random.default_rng(0)
+    clean = np.zeros((B, H, W), np.float32)
+    clean[:, H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = 1.0
+    return jnp.asarray(
+        clean + 0.15 * rng.standard_normal((B, H, W)).astype(np.float32)
+    )
+
+
+def generic_iteration(noisy):
+    return jax.vmap(
+        lambda y: make_chambolle_pock_iteration(
+            x0=jnp.zeros((H, W), jnp.float32),
+            y0=jnp.zeros((2, H, W), jnp.float32),
+            g=SqrDistance(y),
+            h=NormL21(LAM, axis=0),
+            L=Grad2DOperator((H, W)),
+        )
+    )(noisy)
+
+
+def test_reference_step_matches_generic_update(noisy):
+    """The fused-step algebra IS the AFBA theta=2 update: starting from the
+    same (x, y), one reference_cp_step must equal one generic _update."""
+    iteration = generic_iteration(noisy)
+    state1 = jax.vmap(lambda it: it.init())(iteration)  # update from (0, 0)
+    state2 = jax.vmap(lambda it, s: it.step(s))(iteration, state1)
+
+    g1, g2 = default_tv_stepsizes()
+    g1v = jnp.full((B,), g1, jnp.float32)
+    g2v = jnp.full((B,), g2, jnp.float32)
+    lamv = jnp.full((B,), LAM, jnp.float32)
+    x = jnp.zeros((B, H, W), jnp.float32)
+    y = jnp.zeros((B, H, W), jnp.float32)
+
+    # step 1 (the driver's init)
+    x1, yx1, yy1, res1 = reference_cp_step(noisy, x, y, y, g1v, g2v, lamv)
+    np.testing.assert_allclose(
+        np.asarray(state1.x), np.asarray(x1), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state1.y[:, 0]), np.asarray(yx1), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state1.y[:, 1]), np.asarray(yy1), atol=2e-6
+    )
+    # the driver's stopping quantity: ||FPR_x||inf + ||FPR_y||inf
+    fpr = jnp.max(jnp.abs(state1.FPR_x), axis=(1, 2)) + jnp.max(
+        jnp.abs(state1.FPR_y), axis=(1, 2, 3)
+    )
+    np.testing.assert_allclose(np.asarray(fpr), np.asarray(res1), atol=2e-6)
+
+    # step 2
+    x2, yx2, yy2, _ = reference_cp_step(noisy, x1, yx1, yy1, g1v, g2v, lamv)
+    np.testing.assert_allclose(
+        np.asarray(state2.x), np.asarray(x2), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.y[:, 0]), np.asarray(yx2), atol=5e-6
+    )
+
+
+def test_kernel_matches_reference_step(noisy):
+    g1, g2 = default_tv_stepsizes()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    yx = jnp.asarray(
+        0.05 * rng.standard_normal((B, H, W)).astype(np.float32)
+    )
+    yy = jnp.asarray(
+        0.05 * rng.standard_normal((B, H, W)).astype(np.float32)
+    )
+    g1v = jnp.full((B,), g1, jnp.float32)
+    g2v = jnp.full((B,), g2, jnp.float32)
+    lamv = jnp.full((B,), LAM, jnp.float32)
+
+    xk, yxk, yyk, rk = fused_cp_k_steps(
+        noisy, x, yx, yy, g1v, g2v, lamv, K=1, interpret=True
+    )
+    xr, yxr, yyr, rr = reference_cp_step(noisy, x, yx, yy, g1v, g2v, lamv)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xr), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(yxk), np.asarray(yxr), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(yyk), np.asarray(yyr), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(rk), np.asarray(rr), atol=5e-6)
+
+    # K=3 blocked == 3 single steps
+    xk3, yxk3, yyk3, _ = fused_cp_k_steps(
+        noisy, x, yx, yy, g1v, g2v, lamv, K=3, interpret=True
+    )
+    xs, yxs, yys = x, yx, yy
+    for _ in range(3):
+        xs, yxs, yys, _ = reference_cp_step(
+            noisy, xs, yxs, yys, g1v, g2v, lamv
+        )
+    np.testing.assert_allclose(np.asarray(xk3), np.asarray(xs), atol=2e-5)
+
+
+@pytest.mark.parametrize("use_kernel", [True, False])
+def test_solver_matches_generic_driver(noisy, use_kernel):
+    iteration = generic_iteration(noisy)
+    sols, iters, done = batched_run_loop(iteration, 5000, TOL)
+    xs_gen = sols[0]
+    assert bool(jnp.all(done))
+
+    x, it, d = solve_tv_batch(
+        noisy, LAM, TOL, maxit=5000, iter_block=8, use_kernel=use_kernel,
+        interpret=use_kernel,
+    )
+    assert bool(jnp.all(d))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xs_gen), atol=1e-3)
+    # sampled stopping: counts are an upper bound, within one block
+    assert np.all(np.asarray(it) >= np.asarray(iters) - 1)
+    assert np.all(np.asarray(it) <= np.asarray(iters) + 8)

@@ -145,6 +145,43 @@ def main():
                lambda tol, maxit: solve_lasso_batch_blocked(
                    A, b, lam, Lf, tol, maxit=maxit, iter_block=8), B)
 
+    if "multirhs" in paths:
+        from proxtpu.kernels.lasso import solve_lasso_multirhs
+
+        A0 = jnp.asarray(As[0])
+        Lf0 = float(Lfs[0])
+        record("multirhs_sharedA",
+               lambda tol, maxit: solve_lasso_multirhs(
+                   A0, b, lam, Lf0, tol, maxit=maxit), B)
+
+    if "ksweep" in paths and platform == "tpu":
+        for K in (16, 32):
+            record(f"blocked_k{K}",
+                   lambda tol, maxit, K=K: solve_lasso_batch_blocked(
+                       A, b, lam, Lf, tol, maxit=maxit, iter_block=K), B)
+
+    if "padtax" in paths and platform == "tpu":
+        # lane-padding tax: N=400 occupies 512 lanes in VMEM; compare
+        # per-iteration time against a true N=512 problem (28% more math in
+        # the same physical tiles => identical per-iter time means the padded
+        # lanes are pure waste at N=400)
+        for Np in (512,):
+            rngp = np.random.default_rng(2)
+            Ap = jnp.asarray(
+                (rngp.standard_normal((B, M, Np)) / np.sqrt(M)).astype(np.float32)
+            )
+            bp = jnp.asarray(rngp.standard_normal((B, M)).astype(np.float32))
+            lamp = jnp.asarray(
+                0.1 * np.max(np.abs(np.einsum(
+                    "bmn,bm->bn", np.asarray(Ap), np.asarray(bp))), axis=1),
+                jnp.float32)
+            Lfp = jnp.asarray(
+                [np.linalg.norm(np.asarray(Ap[i]), 2) ** 2 for i in range(B)],
+                jnp.float32)
+            record(f"blocked_k8_N{Np}",
+                   lambda tol, maxit: solve_lasso_batch_blocked(
+                       Ap, bp, lamp, Lfp, tol, maxit=maxit, iter_block=8), B)
+
     if "qp" in paths:
         from proxtpu.kernels.box_qp import (
             solve_box_qp_batch,

@@ -98,6 +98,33 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         if not isinstance(g, NormL1):
             return None
         A, b = jnp.asarray(f.A), jnp.asarray(f.b)
+
+        if A.ndim == 2 and b.ndim == 2:
+            # shared design matrix, many right-hand sides -> the MXU-matmul
+            # formulation (solve_lasso_multirhs)
+            B = b.shape[0]
+            flam = jnp.asarray(getattr(f, "lam", 1.0))
+            if not bool(jnp.all(flam == 1.0)):
+                return None
+            lam = _scalar_or_vec(g.lam, B, A.dtype)
+            Lf, gamma = kwargs.get("Lf"), kwargs.get("gamma")
+            if gamma is not None:
+                Lfs = jnp.asarray(gamma)
+                Lfs = 1.0 / Lfs if Lfs.ndim == 0 else None
+            elif Lf is not None:
+                Lfs = jnp.asarray(Lf)
+                Lfs = Lfs if Lfs.ndim == 0 else None
+            else:
+                Lfs = None
+            if lam is None or Lfs is None:
+                return None
+
+            from .lasso import solve_lasso_multirhs
+
+            return lambda: solve_lasso_multirhs(
+                A, b, lam, Lfs, tol, maxit=maxit
+            )
+
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
             return None
         B = A.shape[0]

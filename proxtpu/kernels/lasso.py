@@ -340,3 +340,74 @@ def solve_lasso_batch_blocked(
     # contract (matching solve_lasso_batch's exact cap).
     iters = jnp.minimum(jnp.where(done, iters, k), maxit)
     return z, iters, done
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
+    """Batched FISTA for many lasso instances sharing ONE design matrix:
+
+        min_x  ||A x_i - b_i||^2 / 2 + lam_i ||x_i||_1,   i = 1..B
+
+    (lasso paths, multi-target regression, scenario sweeps over b).  Unlike
+    the distinct-A batch — whose per-lane matvecs are VPU-bound multiply-
+    reduces — the shared-A step is two *real* matmuls, (B,N)@(N,M) and
+    (B,M)@(M,N), which map straight onto the MXU at full tile utilization.
+    This is the speed-of-light formulation whenever the workload allows it:
+    the MXU at HIGHEST (6-pass bf16 ~ f32) precision sustains ~10x the
+    VPU's f32 FMA rate, and A stays resident in CMEM/VMEM across the whole
+    batch instead of being streamed once per lane.
+
+    Same iterate trajectory, stopping rule (``||x-z||_inf / gamma <= tol``)
+    and per-lane freezing as :func:`solve_lasso_batch`; pure XLA (no Pallas
+    needed — XLA fuses the prox/extrapolation elementwise epilogue into the
+    matmuls).
+
+    Args:
+      A: (M, N) shared design matrix.  Bmat: (B, M) right-hand sides.
+      lam: scalar or (B,) l1 weights.  Lf: scalar ``opnorm(A)^2``.
+
+    Returns (z, iters, done) exactly like :func:`solve_lasso_batch`.
+    """
+    M, N = A.shape
+    B = Bmat.shape[0]
+    dtype = A.dtype
+    gamma = (1.0 / jnp.asarray(Lf)).astype(dtype)  # scalar: shared A
+    thr = jnp.broadcast_to((gamma * jnp.asarray(lam)).astype(dtype), (B,))
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def step_fn(X):
+        R = jnp.matmul(X, A.T, precision=hi) - Bmat          # (B, M)  MXU
+        G = jnp.matmul(R, A, precision=hi)                   # (B, N)  MXU
+        Y = X - gamma * G
+        Z = jnp.sign(Y) * jnp.maximum(jnp.abs(Y) - thr[:, None], 0.0)
+        return Z, jnp.max(jnp.abs(X - Z), axis=1)
+
+    x0 = jnp.zeros((B, N), dtype)
+    z0, res0 = step_fn(x0)
+    done0 = res0 / gamma <= tol
+    t1 = (1 + jnp.sqrt(5.0)) / 2 * jnp.ones((B,), dtype)
+    init = (jnp.asarray(1, jnp.int32), z0, z0, t1, done0,
+            jnp.ones((B,), jnp.int32))
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+
+    def body(c):
+        k, x, z_prev, t, done, iters = c
+        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+        z, res = step_fn(x)
+        beta = ((t - 1) / t_new)[:, None]
+        x_new = z + beta * (z - z_prev)
+        newly_done = res / gamma <= tol
+        keep = done[:, None]
+        x_new = jnp.where(keep, x, x_new)
+        z = jnp.where(keep, z_prev, z)
+        k = k + 1
+        iters = jnp.where(done, iters, k)
+        return (k, x_new, z, jnp.where(done, t, t_new), done | newly_done,
+                iters)
+
+    k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(done, iters, k)
+    return z, iters, done

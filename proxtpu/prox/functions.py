@@ -447,6 +447,165 @@ class LogisticLoss:
 
 
 @proxclass
+class HuberLoss:
+    """f(x) = ||x||^2/2 if ||x|| <= rho, else rho(||x|| - rho/2), scaled by
+    mu — the smooth robust loss (``ProximalOperators.HuberLoss``).  Smooth
+    with a hand gradient; also proxable (prox of the Moreau-smoothed norm).
+    """
+
+    rho: object = 1.0
+    mu: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        from ..utils.tree import tree_norm
+
+        rho, mu = _rparam(self.rho, x), _rparam(self.mu, x)
+        nrm = tree_norm(x)
+        return mu * jnp.where(
+            nrm <= rho, nrm * nrm / 2, rho * (nrm - rho / 2)
+        )
+
+    def value_and_gradient(self, x):
+        from ..utils.tree import tree_norm
+
+        rho, mu = _rparam(self.rho, x), _rparam(self.mu, x)
+        nrm = tree_norm(x)
+        val = mu * jnp.where(nrm <= rho, nrm * nrm / 2, rho * (nrm - rho / 2))
+        scale = mu * jnp.where(nrm <= rho, 1.0, rho / jnp.maximum(nrm, rho))
+        return val, tree_scale(scale, x)
+
+    def prox(self, x, gamma):
+        from ..utils.tree import tree_norm
+
+        rho, mu = _rparam(self.rho, x), _rparam(self.mu, x)
+        nrm = tree_norm(x)
+        c = gamma * mu
+        # quadratic region: shrink by 1/(1+c); linear region: radial soft step
+        scale = jnp.where(
+            nrm <= rho * (1 + c),
+            1 / (1 + c),
+            1 - c * rho / jnp.maximum(nrm, rho * (1 + c)),
+        )
+        z = tree_scale(scale, x)
+        return z, self(z)
+
+
+@proxclass
+class IndSimplex:
+    """Indicator of the probability simplex {x >= 0, sum x = a}; prox is the
+    Euclidean projection via the sorted-threshold algorithm
+    (Held-Wolfe-Crowder; ``ProximalOperators.IndSimplex``) — one jnp.sort,
+    fully jittable with static shapes."""
+
+    a: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        R = real_dtype_of(x)
+        a = _rparam(self.a, x)
+        leaves = jax.tree.leaves(x)
+        s = sum(jnp.sum(l) for l in leaves)
+        ok = jnp.array(True)
+        for l in leaves:
+            ok = ok & jnp.all(l >= -1e3 * jnp.finfo(R).eps)
+        ok = ok & (jnp.abs(s - a) <= 1e3 * jnp.finfo(R).eps * (1 + a))
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)  # single flat vector
+        a = _rparam(self.a, leaf)
+        n = leaf.shape[-1]
+        u = jnp.sort(leaf)[::-1]
+        css = jnp.cumsum(u) - a
+        ks = jnp.arange(1, n + 1, dtype=leaf.dtype)
+        cond = u - css / ks > 0
+        k = jnp.sum(cond.astype(jnp.int32))
+        tau = css[k - 1] / k.astype(leaf.dtype)
+        z = jnp.maximum(leaf - tau, 0)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, _rzero(x)
+
+
+@proxclass
+class IndBallL2:
+    """Indicator of the l2 ball {||x|| <= r}; prox is radial projection."""
+
+    r: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        from ..utils.tree import tree_norm
+
+        R = real_dtype_of(x)
+        r = _rparam(self.r, x)
+        ok = tree_norm(x) <= r * (1 + 1e3 * jnp.finfo(R).eps)
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        from ..utils.tree import tree_norm
+
+        r = _rparam(self.r, x)
+        nrm = tree_norm(x)
+        z = tree_scale(jnp.where(nrm > r, r / jnp.maximum(nrm, r), 1.0), x)
+        return z, _rzero(x)
+
+
+@proxclass
+class IndBallL1:
+    """Indicator of the l1 ball {||x||_1 <= r}; projection by simplex
+    projection of |x| (sort-based, jittable)."""
+
+    r: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        R = real_dtype_of(x)
+        r = _rparam(self.r, x)
+        l1 = sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(x))
+        ok = l1 <= r * (1 + 1e3 * jnp.finfo(R).eps)
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        r = _rparam(self.r, leaf)
+        absx = jnp.abs(leaf)
+        inside = jnp.sum(absx) <= r
+        proj, _ = IndSimplex(r).prox(absx, gamma)
+        z = jnp.where(inside, leaf, jnp.sign(leaf) * proj)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, _rzero(x)
+
+
+@proxclass
+class SumPositive:
+    """f(x) = sum(max(x, 0)) (``ProximalOperators.SumPositive``); the prox
+    shifts positive entries down by gamma (one-sided soft threshold)."""
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        return sum(
+            jnp.sum(jnp.maximum(l, 0)) for l in jax.tree.leaves(x)
+        )
+
+    def prox(self, x, gamma):
+        z = tree_map(
+            lambda l: jnp.where(l > gamma, l - gamma, jnp.minimum(l, 0)), x
+        )
+        return z, self(z)
+
+
+@proxclass
 class SqrDistance:
     """f(x) = ||x - b||^2 / 2 (the benchmark's SquaredDistance,
     ``benchmark/benchmarks.jl:20-27``)."""

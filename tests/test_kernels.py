@@ -149,6 +149,61 @@ class TestBoxQPKernel:
             assert np.max(np.abs(x - step)) / gamma <= 2e-4
 
 
+def test_multirhs_matches_per_lane_batch(data):
+    """The shared-A MXU formulation must reproduce the distinct-A batch
+    solver exactly when every lane carries the same A: same counts (+-1
+    f32 boundary), same fixed points."""
+    from proxtpu.kernels.lasso import solve_lasso_batch, solve_lasso_multirhs
+
+    A, b, lam, Lf = data
+    A0 = A[0]
+    Lf0 = Lf[0]
+    A_rep = jnp.broadcast_to(A0, A.shape)
+    Lf_rep = jnp.broadcast_to(Lf0, Lf.shape)
+
+    z1, i1, d1 = solve_lasso_multirhs(A0, b, lam, Lf0, 1e-5, maxit=3000)
+    z2, i2, d2 = solve_lasso_batch(
+        A_rep, b, lam, Lf_rep, 1e-5, maxit=3000, use_kernel=False
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d2))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(i1) - np.asarray(i2)))) <= 1
+
+
+def test_multirhs_dispatch():
+    """BatchedAlgorithm routes shared-A LeastSquaresLoss + NormL1 to the
+    multirhs solver."""
+    from proxtpu.algorithms.fast_forward_backward import (
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.kernels.dispatch import match_kernel_solver
+    from proxtpu.prox import LeastSquaresLoss, NormL1
+
+    rng = np.random.default_rng(5)
+    A0 = jnp.asarray((rng.standard_normal((M, N)) / np.sqrt(M)).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    Lf0 = float(np.linalg.norm(np.asarray(A0), 2) ** 2)
+    kw = dict(
+        x0=jnp.zeros((B, N), jnp.float32),
+        f=LeastSquaresLoss(A0, bb),
+        g=NormL1(0.1),
+        Lf=Lf0,
+    )
+    run = match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=1e-5, maxit=3000
+    )
+    assert run is not None
+    z, it, done = run()
+    assert bool(jnp.all(done))
+    # fixed-point check on lane 0
+    x = np.asarray(z[0], np.float64)
+    An = np.asarray(A0, np.float64)
+    g0 = 1.0 / Lf0
+    y = x - g0 * (An.T @ (An @ x - np.asarray(bb[0], np.float64)))
+    zz = np.sign(y) * np.maximum(np.abs(y) - g0 * 0.1, 0)
+    assert np.max(np.abs(x - zz)) / g0 <= 2e-5
+
+
 def test_blocked_solver_matches_fixed_point(data):
     """Iteration-blocked FISTA reaches the same fixed point; its sampled
     stopping makes per-lane counts an upper bound (never earlier than the

@@ -11,6 +11,10 @@ parallelism of any kind (SURVEY.md §2.6).  Three orthogonal axes:
   across devices, coupling through one mean collective per iteration.
 """
 
+from .adaptive_batch import (
+    batched_adaptive_fb,
+    batched_adaptive_fista,
+)
 from .batch import (
     BatchedAlgorithm,
     batch_problems,
@@ -35,6 +39,8 @@ from .sharded_ops import (
 
 __all__ = [
     "BatchedAlgorithm",
+    "batched_adaptive_fb",
+    "batched_adaptive_fista",
     "batch_problems",
     "batched_run_loop",
     "compacting_batched_run",

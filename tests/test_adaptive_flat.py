@@ -1,0 +1,102 @@
+"""Flattened batched adaptive FB/FISTA: exact per-lane parity with the
+single-problem adaptive driver at one oracle evaluation per loop trip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import proxtpu as pa
+from proxtpu.parallel import batched_adaptive_fb, batched_adaptive_fista
+from proxtpu.prox import LeastSquaresLoss, NormL1
+
+TOL = 1e-6
+B, M, N = 5, 8, 12
+
+
+def problems(dtype=jnp.float64):
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((B, M, N)), dtype)
+    b = jnp.asarray(rng.standard_normal((B, M)), dtype)
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A),
+                                      np.asarray(b))), axis=1), dtype)
+    return A, b, lam
+
+
+def stacked_fg(A, b, lam):
+    f = jax.vmap(LeastSquaresLoss)(A, b)
+    g = jax.vmap(NormL1)(lam)
+    return f, g
+
+
+# increase_gamma=1.0 is compared with each side's own cold-start gamma (no
+# backtracking boundary-riding, so the 1-ulp cold-start difference between
+# two separately-jitted programs never flips a trial).  The regret rule
+# (increase_gamma>1) deliberately rides the acceptance boundary — every
+# trial is knife-edge — so both sides get the SAME concrete gamma0; with it
+# the trajectories (hundreds of accepts and halvings) match bit-for-bit.
+CASES = [(1.0, None), (1.01, 0.05)]
+
+
+@pytest.mark.parametrize("increase,gamma0", CASES)
+def test_flat_fb_matches_single_driver(increase, gamma0):
+    A, b, lam = problems()
+    f, g = stacked_fg(A, b, lam)
+    x0 = jnp.zeros((B, N), jnp.float64)
+    z, iters, done = batched_adaptive_fb(
+        f, g, x0, TOL, maxit=5000, increase_gamma=increase,
+        gamma0=None if gamma0 is None else jnp.full((B,), gamma0),
+    )
+    assert bool(jnp.all(done))
+
+    solver = pa.ForwardBackward(tol=TOL, maxit=5000, adaptive=True,
+                                increase_gamma=increase)
+    for i in range(B):
+        x, it = solver(
+            x0=jnp.zeros(N, jnp.float64),
+            f=LeastSquaresLoss(A[i], b[i]), g=NormL1(lam[i]),
+            gamma=gamma0,
+        )
+        assert it == int(iters[i]), f"lane {i}: {it} != {int(iters[i])}"
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-12
+        )
+
+
+# FISTA's fixed-point residual is non-monotone, so its gamma search can hit
+# the acceptance boundary even without the regret rule — pin gamma0 for both
+# cases (see comment above CASES).
+@pytest.mark.parametrize("increase,gamma0", [(1.0, 0.05), (1.01, 0.05)])
+def test_flat_fista_matches_single_driver(increase, gamma0):
+    A, b, lam = problems()
+    f, g = stacked_fg(A, b, lam)
+    x0 = jnp.zeros((B, N), jnp.float64)
+    z, iters, done = batched_adaptive_fista(
+        f, g, x0, TOL, maxit=5000, increase_gamma=increase,
+        gamma0=None if gamma0 is None else jnp.full((B,), gamma0),
+    )
+    assert bool(jnp.all(done))
+
+    solver = pa.FastForwardBackward(tol=TOL, maxit=5000, adaptive=True,
+                                    increase_gamma=increase)
+    for i in range(B):
+        x, it = solver(
+            x0=jnp.zeros(N, jnp.float64),
+            f=LeastSquaresLoss(A[i], b[i]), g=NormL1(lam[i]),
+            gamma=gamma0,
+        )
+        assert it == int(iters[i]), f"lane {i}: {it} != {int(iters[i])}"
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-12
+        )
+
+
+def test_flat_fb_maxit_cap():
+    A, b, lam = problems()
+    f, g = stacked_fg(A, b, lam)
+    x0 = jnp.zeros((B, N), jnp.float64)
+    z, iters, done = batched_adaptive_fb(f, g, x0, 0.0, maxit=7)
+    assert not bool(jnp.any(done))
+    assert all(int(i) == 7 for i in iters)

@@ -55,6 +55,19 @@ def main():
         print(f"{float(lams[i]):12.5f} {int(nnz[i]):5d} {int(iters[i]):6d}")
     print(f"all converged: {bool(jnp.all(done))}")
 
+    # Because every path point shares the SAME design matrix, the whole
+    # path also fits the shared-A MXU formulation — one (64,n)@(n,m)
+    # matmul per iteration instead of 64 per-lane matvecs:
+    from proxtpu.kernels import solve_lasso_multirhs
+
+    Bmat = jnp.broadcast_to(b, (lams.shape[0], m))
+    xs2, iters2, done2 = solve_lasso_multirhs(
+        A, Bmat, lams, Lf, 1e-5, maxit=5000
+    )
+    agree = bool(jnp.max(jnp.abs(xs2 - xs)) < 1e-3)
+    print(f"multirhs path: converged={bool(jnp.all(done2))}, "
+          f"matches vmapped path: {agree}")
+
 
 if __name__ == "__main__":
     main()

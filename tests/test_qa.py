@@ -50,6 +50,14 @@ def test_prox_functions_pytree_roundtrip():
         LeastSquaresLoss(A, x), Quadratic(A, x), LogisticLoss(),
         SqrDistance(x), Translate(NormL1(1.0), x),
     ]
+    from proxtpu.prox import (
+        HuberLoss, IndBallL1, IndBallL2, IndSimplex, SumPositive,
+    )
+
+    fns += [
+        HuberLoss(1.0, 2.0), IndSimplex(1.0), IndBallL1(1.0), IndBallL2(1.0),
+        SumPositive(),
+    ]
     for f in fns:
         leaves, treedef = jax.tree.flatten(f)
         f2 = jax.tree.unflatten(treedef, leaves)

@@ -121,8 +121,9 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
             from .lasso import solve_lasso_multirhs
 
+            K = iter_block if _is_default_backend_tpu() else 1
             return lambda: solve_lasso_multirhs(
-                A, b, lam, Lfs, tol, maxit=maxit
+                A, b, lam, Lfs, tol, maxit=maxit, iter_block=K
             )
 
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:

@@ -342,8 +342,8 @@ def solve_lasso_batch_blocked(
     return z, iters, done
 
 
-@partial(jax.jit, static_argnames=("maxit",))
-def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
+@partial(jax.jit, static_argnames=("maxit", "iter_block"))
+def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1):
     """Batched FISTA for many lasso instances sharing ONE design matrix:
 
         min_x  ||A x_i - b_i||^2 / 2 + lam_i ||x_i||_1,   i = 1..B
@@ -365,6 +365,12 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
     Args:
       A: (M, N) shared design matrix.  Bmat: (B, M) right-hand sides.
       lam: scalar or (B,) l1 weights.  Lf: scalar ``opnorm(A)^2``.
+      iter_block: FISTA iterations per while-loop trip.  The per-trip fixed
+        cost (op sequencing, convergence reduction, lane freezing) dwarfs
+        the ~tens of microseconds of MXU work at these sizes, so K>1
+        amortizes it; convergence is then *sampled* every K iterations
+        (counts become upper bounds, same semantics as
+        :func:`solve_lasso_batch_blocked`).  K=1 checks every iteration.
 
     Returns (z, iters, done) exactly like :func:`solve_lasso_batch`.
     """
@@ -373,6 +379,7 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
     dtype = A.dtype
     gamma = (1.0 / jnp.asarray(Lf)).astype(dtype)  # scalar: shared A
     thr = jnp.broadcast_to((gamma * jnp.asarray(lam)).astype(dtype), (B,))
+    K = iter_block
 
     hi = jax.lax.Precision.HIGHEST
 
@@ -382,6 +389,20 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
         Y = X - gamma * G
         Z = jnp.sign(Y) * jnp.maximum(jnp.abs(Y) - thr[:, None], 0.0)
         return Z, jnp.max(jnp.abs(X - Z), axis=1)
+
+    def fista_k(x, z_prev, t):
+        def one(_, c):
+            x, z_prev, t, _res = c
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            z, res = step_fn(x)
+            beta = ((t - 1) / t_new)[:, None]
+            x_new = z + beta * (z - z_prev)
+            return (x_new, z, t_new, res)
+
+        return jax.lax.fori_loop(
+            0, K, one,
+            (x, z_prev, t, jnp.zeros((B,), dtype)),
+        )
 
     x0 = jnp.zeros((B, N), dtype)
     z0, res0 = step_fn(x0)
@@ -395,19 +416,16 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000):
 
     def body(c):
         k, x, z_prev, t, done, iters = c
-        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-        z, res = step_fn(x)
-        beta = ((t - 1) / t_new)[:, None]
-        x_new = z + beta * (z - z_prev)
-        newly_done = res / gamma <= tol
+        xn, zn, tn, res = fista_k(x, z_prev, t)
         keep = done[:, None]
-        x_new = jnp.where(keep, x, x_new)
-        z = jnp.where(keep, z_prev, z)
-        k = k + 1
+        x_new = jnp.where(keep, x, xn)
+        z_new = jnp.where(keep, z_prev, zn)
+        t_new = jnp.where(done, t, tn)
+        k = k + K
+        newly_done = res / gamma <= tol
         iters = jnp.where(done, iters, k)
-        return (k, x_new, z, jnp.where(done, t, t_new), done | newly_done,
-                iters)
+        return (k, x_new, z_new, t_new, done | newly_done, iters)
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
-    iters = jnp.where(done, iters, k)
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
     return z, iters, done

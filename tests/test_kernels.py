@@ -169,6 +169,17 @@ def test_multirhs_matches_per_lane_batch(data):
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
     assert int(np.max(np.abs(np.asarray(i1) - np.asarray(i2)))) <= 1
 
+    # iteration blocking: same fixed point, upper-bound counts
+    z3, i3, d3 = solve_lasso_multirhs(
+        A0, b, lam, Lf0, 1e-5, maxit=3000, iter_block=8
+    )
+    assert bool(jnp.all(d3))
+    np.testing.assert_allclose(np.asarray(z3), np.asarray(z1), atol=5e-4)
+    # FISTA's residual is non-monotone: a lane that dips under tol between
+    # sample points keeps iterating until a *sampled* residual is under tol,
+    # so counts are an upper bound (not necessarily within K)
+    assert np.all(np.asarray(i3) >= np.asarray(i1) - 1)
+
 
 def test_multirhs_dispatch():
     """BatchedAlgorithm routes shared-A LeastSquaresLoss + NormL1 to the

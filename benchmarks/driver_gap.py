@@ -135,6 +135,34 @@ def main():
         record("generic",
                lambda tol, maxit: batched_run_loop(iteration, maxit, tol), B)
 
+    if "generic_k8" in paths:
+        from proxtpu.algorithms.fast_forward_backward import (
+            make_fast_forward_backward_iteration,
+        )
+        from proxtpu.parallel.batch import batched_run_loop
+        from proxtpu.prox import LeastSquaresLoss, NormL1
+
+        iteration = jax.vmap(
+            lambda Ai, bi, li, Li: make_fast_forward_backward_iteration(
+                x0=jnp.zeros(N, jnp.float32),
+                f=LeastSquaresLoss(Ai, bi),
+                g=NormL1(li),
+                gamma=1.0 / Li,
+            )
+        )(A, b, lam, Lf)
+        record("generic_k8",
+               lambda tol, maxit: batched_run_loop(
+                   iteration, maxit, tol, check_every=8), B)
+
+    if "multirhs_k8" in paths:
+        from proxtpu.kernels.lasso import solve_lasso_multirhs
+
+        A0 = jnp.asarray(As[0])
+        Lf0 = float(Lfs[0])
+        record("multirhs_k8",
+               lambda tol, maxit: solve_lasso_multirhs(
+                   A0, b, lam, Lf0, tol, maxit=maxit, iter_block=8), B)
+
     if "kernel" in paths and platform == "tpu":
         record("kernel",
                lambda tol, maxit: solve_lasso_batch(

@@ -43,19 +43,22 @@ from .common import auto_lanes
 
 
 def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
-    """One CP iteration on (H, W) VMEM arrays; returns (x', yx', yy', res)."""
+    """One CP iteration on (L, H, W) VMEM blocks (whole lane block at once —
+    H rides the sublane dim, W the lane dim, so the rolls are cheap VPU
+    shifts and all L lanes advance as one vector program).
+    Returns (x', yx', yy', res) with res per-lane (L,)."""
     # L^T y : negative divergence; the adjoint zeroes the last row/col of
     # the dual field, and the backward difference's "prepend 0" is exactly
     # roll(+1) once that boundary is zeroed (Grad2DOperator.rmatvec).
     dxm = yx * row_mask
     dym = yy * col_mask
-    div = (dxm - jnp.roll(dxm, 1, axis=0)) + (dym - jnp.roll(dym, 1, axis=1))
+    div = (dxm - jnp.roll(dxm, 1, axis=1)) + (dym - jnp.roll(dym, 1, axis=2))
     t = x + g1 * div                     # x - g1 * (-div) = x - g1 * L^T y
     xbar = (t + g1 * b) / (1 + g1)       # prox of ||. - b||^2/2
 
     mid = 2 * xbar - x
-    gx = (jnp.roll(mid, -1, axis=0) - mid) * row_mask
-    gy = (jnp.roll(mid, -1, axis=1) - mid) * col_mask
+    gx = (jnp.roll(mid, -1, axis=1) - mid) * row_mask
+    gy = (jnp.roll(mid, -1, axis=2) - mid) * col_mask
     vx = yx + g2 * gx
     vy = yy + g2 * gy
     nrm = jnp.sqrt(vx * vx + vy * vy)
@@ -63,43 +66,48 @@ def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
     ybx = vx * scale
     yby = vy * scale
 
-    res = jnp.max(jnp.abs(xbar - x)) + jnp.maximum(
-        jnp.max(jnp.abs(ybx - yx)), jnp.max(jnp.abs(yby - yy))
-    )
-    return xbar, ybx, yby, res
+    return xbar, ybx, yby
 
 
 def _cp_k_steps_kernel(K):
     def kernel(b_ref, x_ref, yx_ref, yy_ref, g1_ref, g2_ref, lam_ref,
                xo_ref, yxo_ref, yyo_ref, res_ref):
-        L = b_ref.shape[0]
-        H, W = b_ref.shape[1], b_ref.shape[2]
-        row_ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        col_ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        row_mask = (row_ix < H - 1).astype(b_ref.dtype)
-        col_mask = (col_ix < W - 1).astype(b_ref.dtype)
-        for l in range(L):
-            b = b_ref[l]
-            g1 = g1_ref[l, 0, 0]
-            g2 = g2_ref[l, 0, 0]
-            lam = lam_ref[l, 0, 0]
+        L, H, W = b_ref.shape
+        dtype = b_ref.dtype
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+        col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+        row_mask = (row_ix < H - 1).astype(dtype)
+        col_mask = (col_ix < W - 1).astype(dtype)
+        b = b_ref[...]
+        g1 = g1_ref[...]      # (L, 1, 1) broadcast against (L, H, W)
+        g2 = g2_ref[...]
+        lam = lam_ref[...]
 
-            def step(_, carry):
-                x, yx, yy, _res = carry
-                x, yx, yy, res = _cp_body(
-                    x, yx, yy, b, g1, g2, lam, row_mask, col_mask
-                )
-                return (x, yx, yy, res)
-
-            x, yx, yy, res = jax.lax.fori_loop(
-                0, K, step,
-                (x_ref[l], yx_ref[l], yy_ref[l],
-                 jnp.zeros((), b_ref.dtype)),
+        # carry (state, previous state): the stopping residual is the
+        # last transition's fixed-point step, |new - old| per field, so it
+        # falls out of the pair after the loop.  Reductions run per lane on
+        # 2-D slices after the loop — Mosaic's layout pass rejects the
+        # 3-D multi-axis reduction shapes inside the carry.
+        def step(_, carry):
+            x, yx, yy, _xp, _yxp, _yyp = carry
+            xn, yxn, yyn = _cp_body(
+                x, yx, yy, b, g1, g2, lam, row_mask, col_mask
             )
-            xo_ref[l] = x
-            yxo_ref[l] = yx
-            yyo_ref[l] = yy
-            res_ref[l] = res.reshape(1, 1)
+            return (xn, yxn, yyn, x, yx, yy)
+
+        x0, yx0, yy0 = x_ref[...], yx_ref[...], yy_ref[...]
+        x, yx, yy, xp, yxp, yyp = jax.lax.fori_loop(
+            0, K, step, (x0, yx0, yy0, x0, yx0, yy0)
+        )
+        xo_ref[...] = x
+        yxo_ref[...] = yx
+        yyo_ref[...] = yy
+        for l in range(L):
+            res_l = jnp.max(jnp.abs(x[l] - xp[l])) + jnp.maximum(
+                jnp.max(jnp.abs(yx[l] - yxp[l])),
+                jnp.max(jnp.abs(yy[l] - yyp[l])),
+            )
+            res_ref[l] = res_l.reshape(1, 1)
 
     return kernel
 

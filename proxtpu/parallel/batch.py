@@ -37,19 +37,26 @@ def _freeze(done, old, new):
     return jax.tree.map(sel, old, new)
 
 
-@partial(jax.jit, static_argnames=("stop",))
+@partial(jax.jit, static_argnames=("stop", "check_every"))
 def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
-                stop=None):
+                stop=None, check_every=1):
     """Advance a batch up to ``chunk`` iterations (or all-done/maxit) with
     per-lane freezing — the one shared core of both batched drivers.
 
     ``stop=None`` (the common case) keeps the jit cache key stable across
     calls; the default criterion is resolved inside the traced function.
+
+    ``check_every=K`` runs K steps per while-loop trip and samples the
+    stopping criterion (and freezes converged lanes) only at trip
+    boundaries — amortizing the fixed per-trip cost exactly like the
+    kernels' iteration blocking.  K=1 (default) reproduces the exact
+    per-iteration semantics.
     """
     if stop is None:
         stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
     vstep = jax.vmap(lambda it, s: it.step(s))
     vstop = jax.vmap(lambda it, s: stop(it, tol, s))
+    K = check_every
 
     def cond(carry):
         k, s, done, iters = carry
@@ -61,9 +68,14 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
 
     def body(carry):
         k, s, done, iters = carry
-        s_new = vstep(iteration, s)
+        if K == 1:
+            s_new = vstep(iteration, s)
+        else:
+            s_new = jax.lax.fori_loop(
+                0, K, lambda _, t: vstep(iteration, t), s
+            )
         s = _freeze(done, s, s_new)
-        k = k + 1
+        k = k + K
         newly_done = vstop(iteration, s)
         iters = jnp.where(done, iters, k)
         return (k, s, done | newly_done, iters)
@@ -71,12 +83,13 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     k, state, done, iters = jax.lax.while_loop(
         cond, body, (k0, state, done, iters)
     )
-    iters = jnp.where(done, iters, k)
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
     return k, state, done, iters
 
 
-@partial(jax.jit, static_argnames=("stop", "solution"))
-def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
+@partial(jax.jit, static_argnames=("stop", "solution", "check_every"))
+def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
+                     check_every=1):
     """Run a batched iteration until every lane converges (or maxit).
 
     ``iteration`` is a stacked pytree (leading batch axis on every leaf —
@@ -84,6 +97,12 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
     :func:`stack_iterations`).  Returns ``(solutions, iters, done)`` where
     ``iters[i]`` is the iteration count at which lane ``i`` converged
     (``maxit`` cap applies), matching the single-problem driver's count.
+
+    ``check_every=K`` samples convergence every K iterations instead of
+    every iteration, amortizing the fixed per-loop-trip cost (the same
+    iteration-blocking trade the fused kernels make): per-lane counts
+    become upper bounds rounded up to block boundaries, and solutions are
+    at least as converged.  K=1 (default) is exact.
     """
     stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
     solution_ = solution or (lambda it, s: it.default_solution(s))
@@ -94,6 +113,7 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None):
     k, state, done, iters = _chunk_loop(
         iteration, state, jnp.asarray(1, jnp.int32), done0,
         jnp.ones((B,), jnp.int32), maxit, maxit, tol, stop=stop,
+        check_every=check_every,
     )
     return (
         jax.vmap(lambda it, s: solution_(it, s))(iteration, state),

@@ -79,6 +79,20 @@ def test_batched_maxit_cap():
     assert all(int(i) == 5 for i in iters)
 
 
+def test_check_every_blocking():
+    """check_every=K: same fixed points, upper-bound counts at block
+    boundaries, never reported converged early."""
+    problems = [random_lasso(k) for k in range(6)]
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+    xs1, i1, d1 = batched_run_loop(iteration, 3000, TOL)
+    xs4, i4, d4 = batched_run_loop(iteration, 3000, TOL, check_every=4)
+    assert bool(jnp.all(d1)) and bool(jnp.all(d4))
+    np.testing.assert_allclose(np.asarray(xs4), np.asarray(xs1), atol=1e-5)
+    assert np.all(np.asarray(i4) >= np.asarray(i1) - 1)
+    # counts land on block boundaries (init step is iteration 1)
+    assert np.all((np.asarray(i4) - 1) % 4 == 0)
+
+
 @pytest.mark.parametrize("maxit,chunk", [(2000, 100), (50, 20)])
 def test_compacting_run_matches_plain(maxit, chunk):
     """Lane compaction is an optimization only: per-lane solutions, iteration

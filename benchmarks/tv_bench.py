@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--hw", type=int, default=64)
     ap.add_argument("--paths", default="generic,kernel")
     ap.add_argument("--iter-block", type=int, default=8)
+    ap.add_argument("--lanes", type=int, default=None)
+    ap.add_argument("--force-xla", action="store_true",
+                    help="use the fused-XLA step instead of the Pallas "
+                    "kernel on TPU (still iteration-blocked)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -101,12 +105,12 @@ def main():
         }), flush=True)
 
     if "kernel" in paths:
-        use_kernel = platform == "tpu"
+        use_kernel = platform == "tpu" and not args.force_xla
 
         def solve_kernel():
             x, iters, done = solve_tv_batch(
                 noisy, LAM, TOL, maxit=MAXIT, iter_block=args.iter_block,
-                use_kernel=use_kernel,
+                use_kernel=use_kernel, lanes=args.lanes,
             )
             return np.asarray(x), np.asarray(iters), np.asarray(done)
 

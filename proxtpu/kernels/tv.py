@@ -43,22 +43,26 @@ from .common import auto_lanes
 
 
 def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
-    """One CP iteration on (L, H, W) VMEM blocks (whole lane block at once —
-    H rides the sublane dim, W the lane dim, so the rolls are cheap VPU
-    shifts and all L lanes advance as one vector program).
-    Returns (x', yx', yy', res) with res per-lane (L,)."""
+    """One CP iteration on fully-packed 2-D VMEM blocks.
+
+    The block is a (R, C) tile mosaic: C = P*W lanes holding P images side
+    by side (C = 128 when W divides 128 — zero lane waste), R rows holding
+    a stack of images' H-row strips.  The Neumann boundary masks
+    (``(r % H) == H-1`` rows, ``(c % W) == W-1`` cols zeroed) make every
+    roll's cross-seam leakage land on a zeroed element, so the packed
+    stencils are *exactly* the per-image stencils."""
     # L^T y : negative divergence; the adjoint zeroes the last row/col of
     # the dual field, and the backward difference's "prepend 0" is exactly
     # roll(+1) once that boundary is zeroed (Grad2DOperator.rmatvec).
     dxm = yx * row_mask
     dym = yy * col_mask
-    div = (dxm - jnp.roll(dxm, 1, axis=1)) + (dym - jnp.roll(dym, 1, axis=2))
+    div = (dxm - jnp.roll(dxm, 1, axis=0)) + (dym - jnp.roll(dym, 1, axis=1))
     t = x + g1 * div                     # x - g1 * (-div) = x - g1 * L^T y
     xbar = (t + g1 * b) / (1 + g1)       # prox of ||. - b||^2/2
 
     mid = 2 * xbar - x
-    gx = (jnp.roll(mid, -1, axis=1) - mid) * row_mask
-    gy = (jnp.roll(mid, -1, axis=2) - mid) * col_mask
+    gx = (jnp.roll(mid, -1, axis=0) - mid) * row_mask
+    gy = (jnp.roll(mid, -1, axis=1) - mid) * col_mask
     vx = yx + g2 * gx
     vy = yy + g2 * gy
     nrm = jnp.sqrt(vx * vx + vy * vy)
@@ -69,25 +73,24 @@ def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
     return xbar, ybx, yby
 
 
-def _cp_k_steps_kernel(K):
+def _cp_k_steps_kernel(K, H, W):
     def kernel(b_ref, x_ref, yx_ref, yy_ref, g1_ref, g2_ref, lam_ref,
-               xo_ref, yxo_ref, yyo_ref, res_ref):
-        L, H, W = b_ref.shape
+               xo_ref, yxo_ref, yyo_ref, xpo_ref, yxpo_ref, yypo_ref):
+        R, C = b_ref.shape
         dtype = b_ref.dtype
-        row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
-        col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
-        row_mask = (row_ix < H - 1).astype(dtype)
-        col_mask = (col_ix < W - 1).astype(dtype)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        col_ix = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        row_mask = ((row_ix % H) < H - 1).astype(dtype)
+        col_mask = ((col_ix % W) < W - 1).astype(dtype)
         b = b_ref[...]
-        g1 = g1_ref[...]      # (L, 1, 1) broadcast against (L, H, W)
-        g2 = g2_ref[...]
-        lam = lam_ref[...]
+        g1 = g1_ref[0, 0]     # shared stepsizes/weight (scalars)
+        g2 = g2_ref[0, 0]
+        lam = lam_ref[0, 0]
 
-        # carry (state, previous state): the stopping residual is the
-        # last transition's fixed-point step, |new - old| per field, so it
-        # falls out of the pair after the loop.  Reductions run per lane on
-        # 2-D slices after the loop — Mosaic's layout pass rejects the
-        # 3-D multi-axis reduction shapes inside the carry.
+        # carry (state, previous state): the stopping residual is the last
+        # transition's fixed-point step |new - old|; both states are
+        # written out and the per-image reduction happens in XLA (cheap at
+        # block boundaries, and it keeps the kernel purely elementwise).
         def step(_, carry):
             x, yx, yy, _xp, _yxp, _yyp = carry
             xn, yxn, yyn = _cp_body(
@@ -102,14 +105,32 @@ def _cp_k_steps_kernel(K):
         xo_ref[...] = x
         yxo_ref[...] = yx
         yyo_ref[...] = yy
-        for l in range(L):
-            res_l = jnp.max(jnp.abs(x[l] - xp[l])) + jnp.maximum(
-                jnp.max(jnp.abs(yx[l] - yxp[l])),
-                jnp.max(jnp.abs(yy[l] - yyp[l])),
-            )
-            res_ref[l] = res_l.reshape(1, 1)
+        xpo_ref[...] = xp
+        yxpo_ref[...] = yxp
+        yypo_ref[...] = yyp
 
     return kernel
+
+
+def _pack_factor(W, B):
+    """Images packed side-by-side along lanes: largest P with P*W <= 128,
+    P | B and W * P | 128-alignment-friendly (P a power of two)."""
+    P = 1
+    while P * 2 * W <= 128 and B % (P * 2) == 0:
+        P *= 2
+    return P
+
+
+def _pack(a, P):
+    """(B, H, W) -> (B//P * H, P*W): P images side by side per row strip."""
+    B, H, W = a.shape
+    G = B // P
+    return a.reshape(G, P, H, W).transpose(0, 2, 1, 3).reshape(G * H, P * W)
+
+
+def _unpack(m, B, H, W, P):
+    G = B // P
+    return m.reshape(G, H, P, W).transpose(0, 2, 1, 3).reshape(B, H, W)
 
 
 @partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
@@ -119,44 +140,57 @@ def fused_cp_k_steps(b, x, yx, yy, g1, g2, lam, K=8, interpret=False,
 
     Args:
       b: (B, H, W) noisy images.  x: (B, H, W) primal iterates.
-      yx, yy: (B, H, W) dual-field components.  g1, g2, lam: (B,) scalars.
+      yx, yy: (B, H, W) dual-field components.  g1, g2, lam: scalars (or
+        uniform (B,) vectors — the kernel uses lane 0; per-image stepsizes
+        take the pure-XLA path in :func:`solve_tv_batch`).
+
+    Layout: the whole batch is packed into one 2-D tile mosaic — P=128//W
+    images side by side along the 128 lanes, image row-strips stacked along
+    sublanes — so there is no lane padding for W in {8,16,32,64,128} and
+    every op is one large uniform vector op.  Cross-image seams are
+    masked (see :func:`_cp_body`).
 
     Returns (x, yx, yy, res) with res the last inner step's
-    ``||FPR_x||_inf + ||FPR_y||_inf`` per lane.
+    ``||FPR_x||_inf + ||FPR_y||_inf`` per image.
     """
     B, H, W = b.shape
     dtype = b.dtype
-    # VMEM per lane ~ 4 arrays resident + ~6 temps; budget on 10 * H * W
-    L = auto_lanes(B, 10 * H * W * dtype.itemsize, lanes)
-    s3 = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (B,)).reshape(
-        B, 1, 1
-    )
-    vspec = lambda shape: pl.BlockSpec(
-        (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    xo, yxo, yyo, res = pl.pallas_call(
-        _cp_k_steps_kernel(K),
-        grid=(B // L,),
-        in_specs=[
-            vspec((H, W)), vspec((H, W)), vspec((H, W)), vspec((H, W)),
-            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
-        ],
-        out_specs=[vspec((H, W)), vspec((H, W)), vspec((H, W)),
-                   vspec((1, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, W), dtype),
-            jax.ShapeDtypeStruct((B, H, W), dtype),
-            jax.ShapeDtypeStruct((B, H, W), dtype),
-            jax.ShapeDtypeStruct((B, 1, 1), dtype),
-        ],
+    P = _pack_factor(W, B)
+    G = B // P
+    # rows per grid block: whole image strips, ~12 live (R, P*W) arrays
+    # within a 4 MB budget
+    max_rows = max(H, (4 * 1024 * 1024 // (12 * P * W * dtype.itemsize))
+                   // H * H)
+    Rb = G * H
+    while Rb > max_rows and Rb % 2 == 0 and (Rb // 2) % H == 0:
+        Rb //= 2
+
+    s2 = lambda v: jnp.asarray(v, dtype).reshape(-1)[:1].reshape(1, 1)
+    mspec = pl.BlockSpec((Rb, P * W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    shape2 = jax.ShapeDtypeStruct((G * H, P * W), dtype)
+
+    outs = pl.pallas_call(
+        _cp_k_steps_kernel(K, H, W),
+        grid=((G * H) // Rb,),
+        in_specs=[mspec, mspec, mspec, mspec, sspec, sspec, sspec],
+        out_specs=[mspec] * 6,
+        out_shape=[shape2] * 6,
         cost_estimate=pl.CostEstimate(
             flops=40 * K * B * H * W,
-            bytes_accessed=7 * B * H * W * dtype.itemsize,
+            bytes_accessed=10 * B * H * W * dtype.itemsize,
             transcendentals=K * B * H * W,
         ),
         interpret=interpret,
-    )(b, x, yx, yy, s3(g1), s3(g2), s3(lam))
-    return xo, yxo, yyo, res.reshape(B)
+    )(_pack(b, P), _pack(x, P), _pack(yx, P), _pack(yy, P),
+      s2(g1), s2(g2), s2(lam))
+    xo, yxo, yyo, xp, yxp, yyp = (_unpack(m, B, H, W, P) for m in outs)
+    res = jnp.max(jnp.abs(xo - xp), axis=(1, 2)) + jnp.maximum(
+        jnp.max(jnp.abs(yxo - yxp), axis=(1, 2)),
+        jnp.max(jnp.abs(yyo - yyp), axis=(1, 2)),
+    )
+    return xo, yxo, yyo, res
 
 
 def reference_cp_step(b, x, yx, yy, g1, g2, lam):

@@ -95,11 +95,13 @@ def run_jax(As, bs, lams, Lfs):
 
     def solve(tol=TOL, maxit=MAXIT):
         if use_kernel:
-            # fastest correct solver: K-step iteration blocking (same
-            # trajectory; stopping sampled every K steps, solutions at
-            # least as converged as the per-iteration-checked solver)
-            xs, iters, done = solve_lasso_batch_blocked(
-                A, b, lam, Lf, tol, maxit=maxit, iter_block=8
+            # fastest measured solver for this shape: the one-step fused
+            # kernel (A read once per iteration).  K-blocking
+            # (solve_lasso_batch_blocked) wins on DMA-bound shapes with
+            # MB-scale per-lane A (e.g. 64x512x1024: 4.4x XLA) but not
+            # here, where per-iteration overhead, not A traffic, binds.
+            xs, iters, done = solve_lasso_batch(
+                A, b, lam, Lf, tol, maxit=maxit, use_kernel=True
             )
         else:
             xs, iters, done = solve_lasso_batch(

@@ -53,15 +53,15 @@ def _vor(fn):
 @partial(
     jax.jit,
     static_argnames=("maxit", "accel", "minimum_gamma", "reduce_gamma",
-                     "increase_gamma", "trip_cap"),
+                     "increase_gamma", "trip_cap", "mf"),
 )
 def _flat_adaptive_run(
     f, g, x0, gamma0, tol, maxit, accel=False,
     minimum_gamma=1e-7, reduce_gamma=0.5, increase_gamma=1.0,
-    trip_cap=None,
+    trip_cap=None, mf=0.0,
 ):
     """Shared flattened driver for FB (accel=False) and FISTA (accel=True,
-    simple t-sequence extrapolation — the mf=0 default).
+    the stepsize-fed AdaptiveNesterovSequence(mf) — the driver's default).
 
     f, g: vmap-stacked function pytrees.  x0: (B, n).  gamma0: (B,).
     Returns (z, iters, done) like :func:`proxtpu.parallel.batch.batched_run_loop`.
@@ -132,14 +132,20 @@ def _flat_adaptive_run(
         # --- committed lanes: advance the base point
         gamma_acc = s["test_gamma"]
         if accel:
-            # AdaptiveNesterovSequence(m=0).next_coeff fed the accepted
+            # AdaptiveNesterovSequence(mf).next_coeff fed the accepted
             # gamma, exactly like the driver (``fast_forward_backward.jl:
             # 99-104``): beta depends on the gamma history once
-            # backtracking changes the stepsize mid-run.
+            # backtracking changes the stepsize mid-run; mf > 0 gives the
+            # strongly-convex theta_init = sqrt(mf * gamma)
+            # (``accel/nesterov.jl:56-103``).
             first = s["seq_step"] < 0
-            theta = jnp.where(first, jnp.ones((B,), dtype), s["seq_theta"])
+            theta_init = (
+                jnp.sqrt(mf * gamma_acc) if mf > 0
+                else jnp.ones((B,), dtype)
+            )
+            theta = jnp.where(first, theta_init, s["seq_theta"])
             step_prev = jnp.where(first, gamma_acc, s["seq_step"])
-            bq = theta**2 / step_prev
+            bq = theta**2 / step_prev - mf
             delta = bq**2 + 4 * theta**2 / (step_prev * gamma_acc)
             theta_new = gamma_acc * (-bq + jnp.sqrt(delta)) / 2
             beta = (
@@ -227,15 +233,17 @@ def batched_adaptive_fb(f, g, x0, tol, maxit=10_000, gamma0=None,
 
 def batched_adaptive_fista(f, g, x0, tol, maxit=10_000, gamma0=None,
                            minimum_gamma=1e-7, reduce_gamma=0.5,
-                           increase_gamma=1.0):
-    """Flattened batched adaptive FastForwardBackward (simple t-sequence,
-    the mf=0 default).  Same contract as :func:`batched_adaptive_fb`."""
+                           increase_gamma=1.0, mf=0.0):
+    """Flattened batched adaptive FastForwardBackward (the stepsize-fed
+    AdaptiveNesterovSequence(mf) extrapolation, matching the driver's
+    default; mf > 0 enables the strongly-convex sequence).  Same contract
+    as :func:`batched_adaptive_fb`."""
     if gamma0 is None:
         gamma0 = _coldstart_gamma(f, x0)
     return _flat_adaptive_run(
         f, g, x0, jnp.asarray(gamma0, x0.dtype), tol, maxit, accel=True,
         minimum_gamma=float(minimum_gamma), reduce_gamma=float(reduce_gamma),
-        increase_gamma=float(increase_gamma),
+        increase_gamma=float(increase_gamma), mf=float(mf),
     )
 
 

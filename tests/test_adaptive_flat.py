@@ -93,6 +93,42 @@ def test_flat_fista_matches_single_driver(increase, gamma0):
         )
 
 
+def test_flat_fista_strongly_convex_mf():
+    """mf > 0 switches the flat machine to the strongly-convex adaptive
+    Nesterov sequence — must match FastForwardBackward(adaptive=True, mf=...)
+    per lane (the known-spectrum SC lasso of
+    test_lasso_small_strongly_convex.jl)."""
+    from problems import SC_XSTAR, strongly_convex_lasso
+
+    A, b, lam, x0_np = strongly_convex_lasso(mf=1.0, Lf=10.0)
+    Aj = jnp.asarray(A)
+    bj = jnp.asarray(b)
+    Bn = 3
+    Ab = jnp.broadcast_to(Aj, (Bn,) + Aj.shape)
+    bb = jnp.broadcast_to(bj, (Bn,) + bj.shape)
+    f = jax.vmap(LeastSquaresLoss)(Ab, bb)
+    g = jax.vmap(NormL1)(jnp.full((Bn,), lam))
+    x0 = jnp.broadcast_to(jnp.asarray(x0_np), (Bn, A.shape[1]))
+
+    z, iters, done = batched_adaptive_fista(
+        f, g, x0, 1e-6, maxit=5000, gamma0=jnp.full((Bn,), 0.05), mf=1.0,
+    )
+    assert bool(jnp.all(done))
+
+    solver = pa.FastForwardBackward(tol=1e-6, maxit=5000, adaptive=True,
+                                    mf=1.0)
+    x, it = solver(
+        x0=jnp.asarray(x0_np), f=LeastSquaresLoss(Aj, bj), g=NormL1(lam),
+        gamma=0.05,
+    )
+    for i in range(Bn):
+        assert int(iters[i]) == it
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-12
+        )
+    np.testing.assert_allclose(np.asarray(z[0]), SC_XSTAR, atol=1e-4)
+
+
 def test_flat_fb_maxit_cap():
     A, b, lam = problems()
     f, g = stacked_fg(A, b, lam)

@@ -12,6 +12,15 @@ bench:
 bench-matrix:
     python benchmarks/run_benchmarks.py --dtype float64 --platform cpu
 
+bench-paths:
+    python benchmarks/driver_gap.py --repeat 5
+
+bench-tv:
+    python benchmarks/tv_bench.py --repeat 5
+
+scaling:
+    python benchmarks/scaling.py --platform cpu
+
 format:
     python -m ruff format proxtpu tests || true
 

@@ -39,7 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import auto_lanes
 
 
 def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):

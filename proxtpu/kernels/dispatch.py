@@ -148,20 +148,22 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
         from .lasso import solve_lasso_batch, solve_lasso_batch_blocked
 
-        # blocking (A resident in VMEM across K iterations) only wins when
-        # per-lane A is large enough that its HBM traffic binds; at small
-        # shapes the one-step kernel is faster (measured: 1344 vs 1270 p/s
-        # on 256x200x400; 909 vs 377 on 64x512x1024)
-        dma_bound = int(A.shape[1]) * int(A.shape[2]) * A.dtype.itemsize >= (
-            1 << 20
-        )
+        # measured regimes (v5e, benchmarks/results_kernel_sweep.jsonl):
+        # tiny per-lane A (<~128 KB) -> XLA's batched einsum rides the MXU
+        # and beats the VPU kernel (7936 vs 2873 p/s at 1024x64x128);
+        # mid-size -> one-step fused kernel (2.6x XLA at 256x200x400);
+        # DMA-bound (>= 1 MB per lane) -> K-blocked kernel (A resident in
+        # VMEM; 4.4x XLA at 64x512x1024, r1)
+        lane_bytes = int(A.shape[1]) * int(A.shape[2]) * A.dtype.itemsize
+        dma_bound = lane_bytes >= (1 << 20)
+        mxu_small = lane_bytes < (1 << 17)
 
         def run():
             if on_tpu and interpret is not True and dma_bound:
                 z, it, done = solve_lasso_batch_blocked(
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block
                 )
-            elif on_tpu and interpret is not True:
+            elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True
                 )

@@ -122,3 +122,49 @@ def test_dp_sharded_batch_solve(mesh):
     np.testing.assert_array_equal(
         np.asarray(iters_shard), np.asarray(iters_plain)
     )
+
+
+def test_initialize_distributed_single_process_noop():
+    """The all-default (and num_processes=1) paths are safe no-ops in a
+    single-process environment and report the process count
+    (proxtpu/parallel/distributed.py — the multi-host branch needs a real
+    cluster)."""
+    from proxtpu.parallel import initialize_distributed
+
+    assert initialize_distributed() == 1
+    assert initialize_distributed(num_processes=1) == 1
+
+
+def test_global_mesh_runs_sharded_solve():
+    """global_mesh spans all (virtual) devices; a dp-sharded batched solve
+    runs under it and matches the unsharded result exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.parallel import global_mesh
+
+    mesh = global_mesh((4, 2), ("dp", "tp"))
+    assert mesh.devices.shape == (4, 2)
+
+    rng = np.random.default_rng(0)
+    B, M, N = 8, 16, 24
+    A = jnp.asarray((rng.standard_normal((B, M, N)) / 4).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A),
+                                      np.asarray(b))), axis=1), jnp.float32)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(B)], jnp.float32)
+
+    ref = solve_lasso_batch(A, b, lam, Lf, 1e-5, maxit=3000,
+                            use_kernel=False)
+    shard = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    with mesh:
+        out = solve_lasso_batch(
+            shard(A, P("dp", None, None)), shard(b, P("dp", None)),
+            shard(lam, P("dp")), shard(Lf, P("dp")),
+            1e-5, maxit=3000, use_kernel=False,
+        )
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=1e-6)

@@ -36,6 +36,7 @@ from ..utils.tree import (
     tree_sub,
     tree_vdot_real,
 )
+from ..utils.loops import bounded_while
 from .common import astree, real_dtype, rscalar
 from .core import IterativeAlgorithm
 
@@ -98,7 +99,7 @@ class _TauCarry(NamedTuple):
     dre: jnp.ndarray
 
 
-@proxclass(meta_fields=("max_backtracks", "directions", "dre_sign"))
+@proxclass(meta_fields=("max_backtracks", "directions", "dre_sign", "backtrack_limit"))
 class DRLSIteration:
     f: object
     g: object
@@ -109,6 +110,7 @@ class DRLSIteration:
     max_backtracks: int
     directions: object
     dre_sign: int
+    backtrack_limit: object = None  # static: not-None = bounded tau-search lowering
 
     def init(self):
         x = self.x0
@@ -218,7 +220,10 @@ class DRLSIteration:
                 _dre(f_u_new, g_v, x, u, res, gamma),
             )
 
-        out = jax.lax.while_loop(cond, body, carry)
+        out = bounded_while(
+            cond, body, carry,
+            None if self.backtrack_limit is None else self.max_backtracks,
+        )
 
         return DRLSState(
             out.x, out.u, out.v, out.w, out.res, out.xbar, gamma,
@@ -253,6 +258,7 @@ def make_drls_iteration(
     c=None,
     max_backtracks=20,
     directions=LBFGS(5),
+    backtrack_limit=None,
 ):
     x0 = astree(x0)
     R = real_dtype(x0)
@@ -267,6 +273,7 @@ def make_drls_iteration(
         f=f, g=g, x0=x0, lam=rscalar(lam, R), c=rscalar(c, R),
         gamma=rscalar(gamma, R), max_backtracks=int(max_backtracks),
         directions=directions, dre_sign=dre_sign,
+        backtrack_limit=None if backtrack_limit is None else int(backtrack_limit),
     )
 
 

@@ -22,6 +22,7 @@ from ..accel.lbfgs import LBFGS
 from ..ops.linops import as_linop
 from ..prox.base import Zero, is_generalized_quadratic, prox, proxclass, value_and_gradient
 from ..utils.fb_tools import backtrack_stepsize, f_model
+from ..utils.loops import bounded_while
 from ..utils.tree import (
     eps_of,
     tree_inf_norm,
@@ -232,7 +233,13 @@ class PANOCIteration:
                 az_valid, abc_valid,
             )
 
-        out = jax.lax.while_loop(cond, body, carry)
+        # backtrack_limit also switches the tau-search to its bounded
+        # lowering (trip count is intrinsically max_backtracks), making the
+        # whole step compile under vmap on TPU (see utils/loops.py)
+        out = bounded_while(
+            cond, body, carry,
+            None if self.backtrack_limit is None else self.max_backtracks,
+        )
 
         dstate = update_direction(
             self.directions, dstate,

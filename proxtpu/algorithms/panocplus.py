@@ -21,6 +21,7 @@ from ..accel.lbfgs import LBFGS
 from ..ops.linops import as_linop
 from ..prox.base import Zero, prox, proxclass, value_and_gradient
 from ..utils.fb_tools import backtrack_stepsize, f_model
+from ..utils.loops import bounded_while
 from ..utils.tree import (
     eps_of,
     tree_inf_norm,
@@ -189,7 +190,14 @@ class PANOCplusIteration:
             At_grad_f_Ax=s.At_grad_f_Ax, y=s.y, z=s.z, g_z=s.g_z, res=s.res,
             At_grad_f_Az=s.At_grad_f_Az, dstate=s.dstate,
         )
-        out = jax.lax.while_loop(lambda c: jnp.logical_not(c.done), body, carry0)
+        # bounded lowering: trips <= max_backtracks tau-halvings plus the
+        # gamma-halvings of the interleaved adaptive search (bounded by
+        # backtrack_limit when given)
+        out = bounded_while(
+            lambda c: jnp.logical_not(c.done), body, carry0,
+            None if self.backtrack_limit is None
+            else self.max_backtracks + int(self.backtrack_limit) + 2,
+        )
 
         dstate = update_direction(
             self.directions, out.dstate,

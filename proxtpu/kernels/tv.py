@@ -36,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -230,11 +231,18 @@ def default_tv_stepsizes(dtype=jnp.float32):
     return 1.0 / nmL, 0.99 / nmL
 
 
-@partial(
-    jax.jit,
-    static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
-                     "lanes"),
-)
+def _uniform_concrete(v):
+    """True if ``v`` is statically known to be lane-uniform: a scalar
+    (traced or not), or a concrete array whose elements are all equal."""
+    if v is None or jnp.ndim(v) == 0:
+        return True
+    try:
+        arr = np.asarray(v)
+    except Exception:  # traced non-scalar: uniformity unknown
+        return False
+    return arr.size > 0 and bool(np.ptp(arr) == 0)
+
+
 def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                    gamma2=None, use_kernel=True, interpret=False,
                    lanes=None):
@@ -246,8 +254,32 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     (lanes are never reported converged before they are), and the iteration
     count includes the init step — iteration 1 — exactly like the driver.
 
+    ``lam``/``gamma1``/``gamma2`` may be scalars or per-image (B,) vectors.
+    The fused kernel shares one parameter set across the packed lane mosaic,
+    so non-uniform per-image parameters are routed to the pure-XLA step
+    (same math, per-lane broadcasting) automatically.
+
     Returns (x, iters, done).
     """
+    if use_kernel and not all(
+        _uniform_concrete(v) for v in (lam, gamma1, gamma2)
+    ):
+        use_kernel = False
+    return _solve_tv_batch_impl(
+        b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
+        gamma2=gamma2, use_kernel=use_kernel, interpret=interpret,
+        lanes=lanes,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
+                     "lanes"),
+)
+def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
+                         gamma2=None, use_kernel=True, interpret=False,
+                         lanes=None):
     B, H, W = b.shape
     dtype = b.dtype
     g1d, g2d = default_tv_stepsizes(dtype)

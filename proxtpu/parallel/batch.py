@@ -224,6 +224,35 @@ def compacting_batched_run(
     )
 
 
+def _default_backtrack_limit(kwargs):
+    """Trip budget for the bounded masked gamma-search: enough halvings to
+    reach either Armijo acceptance or the ``minimum_gamma`` floor (at which
+    the search accepts unconditionally, like the reference's
+    ``fb_tools.jl:24-63``), i.e. ``ceil(log2(gamma0 / minimum_gamma))``.
+
+    ``gamma0`` is resolved statically from ``gamma`` / ``1/Lf`` when
+    concrete; otherwise (cold-start Lipschitz estimate, traced values) the
+    floor-reaching budget is unknown and the historical default of 32 is
+    kept — never lowered, so problems within 2^32 halvings of the floor are
+    always searched to acceptance.  +4 slack covers ``increase_gamma``
+    regret-rule excursions above ``gamma0``.
+    """
+    import math
+
+    min_g = float(kwargs.get("minimum_gamma") or 1e-7)
+    g0 = None
+    try:
+        if kwargs.get("gamma") is not None:
+            g0 = float(np.max(np.asarray(kwargs["gamma"])))
+        elif kwargs.get("Lf") is not None:
+            g0 = 1.0 / float(np.min(np.asarray(kwargs["Lf"])))
+    except Exception:  # traced / non-concrete
+        g0 = None
+    if g0 is None or g0 <= 0 or min_g <= 0:
+        return 32
+    return max(32, int(math.ceil(math.log2(max(g0 / min_g, 1.0)))) + 4)
+
+
 class BatchedAlgorithm:
     """Batched counterpart of :class:`~proxtpu.algorithms.core.IterativeAlgorithm`.
 
@@ -271,7 +300,7 @@ class BatchedAlgorithm:
             except (TypeError, ValueError):
                 params = {}
             if "backtrack_limit" in params:
-                merged["backtrack_limit"] = 32
+                merged["backtrack_limit"] = _default_backtrack_limit(merged)
         if self.use_kernels:
             from ..kernels.dispatch import (
                 match_flat_adaptive,

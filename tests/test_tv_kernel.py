@@ -127,6 +127,33 @@ def test_kernel_matches_reference_step(noisy):
     np.testing.assert_allclose(np.asarray(xk3), np.asarray(xs), atol=2e-5)
 
 
+def test_per_lane_params_route_off_kernel(noisy):
+    """A per-image lam sweep (the natural batched use) must denoise each
+    image with ITS OWN lam: the packed kernel shares one parameter set, so
+    non-uniform (B,) params are auto-routed to the pure-XLA step.  Lane i of
+    the sweep must equal a uniform solve at lam_i (regression for the
+    lane-0-parameters bug)."""
+    lams = jnp.asarray([0.05, 0.12, 0.2, 0.3], jnp.float32)
+    xs, _, d = solve_tv_batch(
+        noisy, lams, TOL, maxit=5000, iter_block=8, use_kernel=True,
+    )
+    assert bool(jnp.all(d))
+    for i in [0, 3]:
+        xi, _, di = solve_tv_batch(
+            noisy, float(lams[i]), TOL, maxit=5000, iter_block=8,
+            use_kernel=False,
+        )
+        assert bool(jnp.all(di))
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(xi[i]), atol=1e-5
+        )
+    # uniform (B,) params still take the requested kernel path unchanged
+    from proxtpu.kernels.tv import _uniform_concrete
+
+    assert _uniform_concrete(jnp.full((B,), 0.1))
+    assert not _uniform_concrete(lams)
+
+
 @pytest.mark.parametrize("use_kernel", [True, False])
 def test_solver_matches_generic_driver(noisy, use_kernel):
     iteration = generic_iteration(noisy)

@@ -1,0 +1,117 @@
+"""TPU measurement: flat trial/commit PANOC vs bounded-lowering batched PANOC.
+
+Flagship shape (256 x 200x400 lasso, f32, tol 1e-5) — the round-2 verdict's
+target: the bounded lowering pays ``max_backtracks`` masked tau-trials per
+iteration (675 p/s measured r2); the flat machine pays one oracle
+evaluation per trip (accepted trial or halving).  Both variants measured
+back-to-back in one process (the tunnel wanders ~25% between processes).
+
+Usage: python benchmarks/flat_ls_bench.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import proxtpu  # noqa: F401
+from proxtpu.algorithms.panoc import make_panoc_iteration
+from proxtpu.ops.linops import MatrixOperator
+from proxtpu.parallel import BatchedAlgorithm
+from proxtpu.parallel.flat_ls import batched_panoc
+from proxtpu.prox import NormL1, SqrDistance
+
+M, N = 200, 400
+BATCH = 256
+TOL = 1e-5
+MAXIT = 2000
+DTYPE = np.float32
+
+
+def gen_problems(batch):
+    rng = np.random.default_rng(0)
+    As = (rng.standard_normal((batch, M, N)) / np.sqrt(M)).astype(DTYPE)
+    bs = rng.standard_normal((batch, M)).astype(DTYPE)
+    lams = 0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1)
+    Lfs = np.array(
+        [np.linalg.norm(As[i], 2) ** 2 for i in range(batch)], dtype=DTYPE
+    )
+    return As, bs, lams.astype(DTYPE), Lfs
+
+
+def timed(tag, run, reps):
+    # warmup + compile
+    t0 = time.perf_counter()
+    out = run()
+    z = np.asarray(out[0])  # host transfer = the only real fence here
+    t_compile = time.perf_counter() - t0
+    iters = np.asarray(out[1])
+    done = np.asarray(out[2])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    lo, hi = np.percentile(times, [25, 75])
+    rec = {
+        "variant": tag,
+        "problems_per_sec": BATCH / med,
+        "median_s": med,
+        "iqr_s": [float(lo), float(hi)],
+        "compile_s": t_compile,
+        "all_done": bool(done.all()),
+        "iters_median": int(np.median(iters)),
+        "iters_max": int(iters.max()),
+    }
+    print(json.dumps(rec), flush=True)
+    return z, rec
+
+
+def main():
+    quick = "--quick" in sys.argv
+    reps = 3 if quick else 5
+    As, bs, lams, Lfs = gen_problems(BATCH)
+    f = jax.vmap(SqrDistance)(jnp.asarray(bs))
+    g = jax.vmap(NormL1)(jnp.asarray(lams))
+    A = jnp.asarray(As)
+    x0 = jnp.zeros((BATCH, N), DTYPE)
+    Lf = jnp.asarray(Lfs)
+
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+
+    def run_flat():
+        return batched_panoc(
+            f, MatrixOperator(A), g, x0, 0.95 / Lf, TOL, maxit=MAXIT
+        )
+
+    z_flat, rec_flat = timed("flat_panoc", run_flat, reps)
+
+    generic = BatchedAlgorithm(
+        make_panoc_iteration, maxit=MAXIT, tol=TOL, use_kernels=False
+    )
+    Aop = jax.vmap(MatrixOperator)(A)
+
+    def run_generic():
+        return generic(x0=x0, f=f, g=g, A=Aop, Lf=Lf)
+
+    z_gen, rec_gen = timed("bounded_lowering_panoc", run_generic, reps)
+
+    gap = float(np.max(np.abs(z_flat - z_gen)))
+    print(json.dumps({
+        "max_abs_solution_gap": gap,
+        "speedup_flat_vs_bounded": rec_flat["problems_per_sec"]
+        / rec_gen["problems_per_sec"],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,92 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
     return lambda: run_fn(f, g, x0, tol, **opts)
 
 
+def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
+                          solution=None):
+    """Route batched *fixed-stepsize* tau-linesearch solvers to the
+    flattened trial/commit machines (:mod:`proxtpu.parallel.flat_ls`) —
+    one oracle evaluation per loop trip instead of ``max_backtracks``
+    masked trials per iteration, with exact per-lane iteration-count
+    parity with the single-problem driver.  Returns a runner or ``None``."""
+    if stop is not None or solution is not None:
+        return None
+    name = getattr(factory, "__name__", "")
+    _FLAT_LS = {
+        "make_panoc_iteration": "batched_panoc",
+        "make_zerofpr_iteration": "batched_zerofpr",
+    }
+    if name not in _FLAT_LS:
+        return None
+    gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
+    adaptive = kwargs.get("adaptive")
+    if adaptive is None:
+        # factory semantics: gamma derives from Lf first, then
+        # adaptive defaults to (gamma is None)
+        adaptive = gamma is None and Lf is None
+    if adaptive or (gamma is None and Lf is None):
+        return None
+    x0 = kwargs.get("x0")
+    f, g = kwargs.get("f"), kwargs.get("g")
+    if x0 is None or f is None or g is None:
+        return None
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 2:
+        return None
+    B = x0.shape[0]
+    for leaf in jax.tree.leaves((f, g)):
+        shp = jnp.shape(leaf)
+        if len(shp) == 0 or shp[0] != B:
+            return None
+
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+    from ..accel.lbfgs import LBFGS
+
+    directions = kwargs.get("directions")
+    if directions is None:
+        directions = LBFGS(5)
+    if getattr(directions, "style", None) not in (
+        QUASI_NEWTON, NO_ACCELERATION,
+    ):
+        return None
+
+    # the stacked linear operator: None -> identity; (B, m, n) array or a
+    # MatrixOperator holding one -> stacked matvec; anything else is out
+    from ..ops.linops import IdentityOperator, MatrixOperator
+
+    A = kwargs.get("A")
+    if A is None:
+        Aop = IdentityOperator()
+    else:
+        arr = A.A if isinstance(A, MatrixOperator) else A
+        try:
+            arr = jnp.asarray(arr)
+        except Exception:
+            return None
+        if arr.ndim != 3 or arr.shape[0] != B:
+            return None
+        Aop = MatrixOperator(arr)
+
+    alpha = float(kwargs.get("alpha", 0.95))
+    beta = float(kwargs.get("beta", 0.5))
+    # same derivation as the factory (gamma = alpha / Lf), per lane, in the
+    # real dtype underlying x0 (factory's rscalar(gamma, R))
+    R = jnp.zeros((), x0.dtype).real.dtype
+    if gamma is not None:
+        gamma_v = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
+    else:
+        gamma_v = alpha / jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
+
+    from .. import parallel as _par
+
+    runner = getattr(_par, _FLAT_LS[name])
+    max_backtracks = int(kwargs.get("max_backtracks", 20))
+
+    return lambda: runner(
+        f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,
+        max_backtracks=max_backtracks, directions=directions,
+    )
+
+
 def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                         solution=None, iter_block=8, interpret=None):
     """Return ``run() -> (xs, iters, done)`` for a kernel-dispatchable

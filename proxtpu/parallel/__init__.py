@@ -15,6 +15,7 @@ from .adaptive_batch import (
     batched_adaptive_fb,
     batched_adaptive_fista,
 )
+from .flat_ls import batched_panoc, batched_zerofpr
 from .batch import (
     BatchedAlgorithm,
     batch_problems,
@@ -41,6 +42,7 @@ __all__ = [
     "BatchedAlgorithm",
     "batched_adaptive_fb",
     "batched_adaptive_fista",
+    "batched_panoc",
     "batch_problems",
     "batched_run_loop",
     "compacting_batched_run",

@@ -304,6 +304,7 @@ class BatchedAlgorithm:
         if self.use_kernels:
             from ..kernels.dispatch import (
                 match_flat_adaptive,
+                match_flat_linesearch,
                 match_kernel_solver,
             )
 
@@ -315,6 +316,12 @@ class BatchedAlgorithm:
             )
             if run is None:
                 run = match_flat_adaptive(
+                    self.iteration_factory, merged,
+                    tol=self.tol, maxit=self.maxit,
+                    stop=self.stop, solution=self.solution,
+                )
+            if run is None:
+                run = match_flat_linesearch(
                     self.iteration_factory, merged,
                     tol=self.tol, maxit=self.maxit,
                     stop=self.stop, solution=self.solution,

@@ -1,0 +1,490 @@
+"""Work-optimal batched tau-linesearch solvers (PANOC family).
+
+The line-search family (PANOC / ZeroFPR / DRLS / PANOCplus) backtracks a
+step parameter ``tau`` inside every outer iteration.  Batched under ``vmap``
+that inner search must be lowered as a bounded masked loop
+(:mod:`proxtpu.utils.loops`) — which pays ``max_backtracks`` masked trial
+evaluations per iteration even though the median accepted ``tau`` needs 0-2
+halvings.  This module flattens the search into the outer loop, exactly
+like the gamma-machine of :mod:`proxtpu.parallel.adaptive_batch`: every
+while-loop trip performs ONE uniform oracle evaluation per lane (one
+forward matvec + one f evaluation + one adjoint matvec + one prox), and
+each lane independently either COMMITS its accepted trial (advancing its
+iterate, direction state and iteration counter, and setting up the tau=1
+trial of its next iteration) or HALVES ``tau`` and retries.
+
+The trick that keeps the work uniform: the per-trip forward matvec input is
+*selected per lane* — a committing lane feeds its fresh quasi-Newton
+direction ``d`` (producing ``A(x+d)`` for the next tau=1 trial), a halving
+lane feeds the lincomb endpoint ``z`` (producing the lazily-needed ``Az``)
+— so one batched MXU matmul serves both phases.  The quadratic-f
+interpolation shortcut of the reference (``panoc.jl:217-237``) is
+replicated bit-for-bit: halving lanes interpolate ``f`` and its gradient
+along the segment from cached endpoint quantities instead of re-evaluating.
+
+Semantics are pinned per lane against the single-problem driver
+(``tests/test_flat_ls.py``): identical trial sequence, accept tests
+(``FBE <= FBE_x - sigma ||res||^2 + 10 eps (1+|FBE_x|)``), forced tau=0
+commit after ``max_backtracks`` halvings (``panoc.jl:204-250``), iteration
+counts (init counts as iteration 1) and solutions.
+
+Fixed stepsize only (``gamma``/``Lf`` given): the adaptive variants
+additionally gamma-backtrack per iteration and still route to the bounded
+lowering.  Iterates are stacked 2-D ``(B, n)`` arrays; f/g/A are
+vmap-stacked pytrees (every array leaf carries the batch axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..prox.base import is_generalized_quadratic, prox, value_and_gradient
+from ..utils.tree import eps_of
+
+
+def _bwhere(pred, new, old):
+    """Per-lane select over a pytree: ``pred`` is (B,), leaves are (B, ...)."""
+    def sel(n, o):
+        p = pred.reshape(pred.shape + (1,) * (n.ndim - pred.ndim))
+        return jnp.where(p, n, o)
+
+    return jax.tree.map(sel, new, old)
+
+
+def _vdot(a, b):
+    """Per-lane real(<a, b>) over (B, n) stacks (``tree_vdot_real``)."""
+    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+        return jnp.sum(jnp.conj(a) * b, axis=1).real
+    return jnp.sum(a * b, axis=1)
+
+
+def _norm_sq(a):
+    return _vdot(a, a)
+
+
+def _inf_norm(a):
+    return jnp.max(jnp.abs(a), axis=1)
+
+
+def _f_model(f_x, grad, res, L):
+    """Per-lane quadratic model, same formula as ``utils.fb_tools.f_model``."""
+    return f_x - _vdot(grad, res) + (L / 2) * _norm_sq(res)
+
+
+def _make_vmapped(f, A, g, directions):
+    vvg = jax.vmap(lambda fi, u: value_and_gradient(fi, u))
+    vprox = jax.vmap(lambda gi, u, gam: prox(gi, u, gam))
+    vmv = jax.vmap(lambda Ai, v: Ai.matvec(v))
+    vrmv = jax.vmap(lambda Ai, v: Ai.rmatvec(v))
+    vinit = jax.vmap(lambda x: directions.init_state(x))
+    vupdate = jax.vmap(lambda ds, s, y: directions.update(ds, s, y))
+    vapply = jax.vmap(lambda ds, v: directions.apply(ds, v))
+    return vvg, vprox, vmv, vrmv, vinit, vupdate, vapply
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap"),
+)
+def _flat_panoc_run(
+    f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
+    directions, trip_cap=None,
+):
+    """Flattened batched fixed-gamma PANOC.
+
+    f, g: vmap-stacked function pytrees; A: vmap-stacked linop pytree;
+    x0: (B, n); gamma: (B,).  Returns (z, iters, done) with per-lane counts
+    equal to the single-problem ``PANOC(gamma=...)`` driver's.
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    eps = eps_of(x0)
+    quad = is_generalized_quadratic(f)
+    vvg, vprox, vmv, vrmv, vinit, vupdate, vapply = _make_vmapped(
+        f, A, g, directions
+    )
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+
+    def vdirection(dstate, v):
+        # fbs_common.next_direction: -(H v) for quasi-Newton, -v otherwise
+        return -vapply(dstate, v) if qn else -v
+
+    gcol = gamma[:, None]
+    sigma = beta * (0.5 / gamma) * (1 - alpha)
+
+    def fbe_and_thr(f_x, At_grad, res, g_z):
+        fbe = _f_model(f_x, At_grad, res, alpha / gamma) + g_z
+        thr = fbe - sigma * _norm_sq(res) + 10 * eps * (1 + jnp.abs(fbe))
+        return fbe, thr
+
+    # --- init: forward_backward_init + first tau=1 trial (``panoc.jl:91-109``)
+    Ax0 = vmv(A, x0)
+    f0, gr0 = vvg(f, Ax0)
+    Atg0 = vrmv(A, gr0)
+    y0 = x0 - gcol * Atg0
+    z0, gz0 = vprox(g, y0, gamma)
+    res0 = x0 - z0
+    done0 = _inf_norm(res0) / gamma <= tol
+
+    dstate0 = vinit(x0)
+    d0 = vdirection(dstate0, res0)
+    _, thr0 = fbe_and_thr(f0, Atg0, res0, gz0)
+
+    Ad0 = vmv(A, d0)
+    x_d0 = x0 + d0
+    Ax_d0 = Ax0 + Ad0
+    f_d0, gr_d0 = vvg(f, Ax_d0)
+    Atg_d0 = vrmv(A, gr_d0)
+    yT0 = x_d0 - gcol * Atg_d0
+    zT0, gzT0 = vprox(g, yT0, gamma)
+    resT0 = x_d0 - zT0
+    fbeT0 = _f_model(f_d0, Atg_d0, resT0, alpha / gamma) + gzT0
+
+    zeros_m = jnp.zeros_like(Ax0)
+    zeros_s = jnp.zeros((B,), R)
+    s = dict(
+        # search context (tau=1 endpoint + lincomb endpoint + quad caches)
+        x_d=x_d0, Ax_d=Ax_d0, f_d=f_d0, gr_d=gr_d0, Atg_d=Atg_d0,
+        z_b=z0, x_b=x0, res_b=res0, thr=thr0,
+        Az=zeros_m, f_Az=zeros_s, gr_Az=zeros_m, Atg_Az=jnp.zeros_like(x0),
+        a=zeros_s, b=zeros_s, c=zeros_s,
+        abc_valid=jnp.zeros((B,), bool),
+        dstate=dstate0,
+        # current trial
+        tau=jnp.ones((B,), R), bt=jnp.ones((B,), jnp.int32),
+        xT=x_d0, AxT=Ax_d0, f_T=f_d0, gr_T=gr_d0, Atg_T=Atg_d0,
+        zT=zT0, gzT=gzT0, resT=resT0, fbeT=fbeT0,
+        # outputs
+        z_sol=z0, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 2) + 4 if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        # accept test: FBE decrease, or the forced tau=0 trial after
+        # max_backtracks halvings is committed unconditionally
+        # (``panoc.jl:204-250``: cond k <= max_backtracks)
+        accept = (s["fbeT"] <= s["thr"]) | (s["bt"] > max_backtracks)
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        commit = accept & active
+        ccol = commit[:, None]
+
+        # --- commit-side bookkeeping (masked; no oracle work)
+        dstate_upd = vupdate(
+            s["dstate"], s["xT"] - s["x_b"], s["resT"] - s["res_b"]
+        )
+        dstate = _bwhere(commit, dstate_upd, s["dstate"])
+        d_new = vdirection(dstate, s["resT"])
+        newly_done = commit & (_inf_norm(s["resT"]) / gamma <= tol)
+        _, thr_commit = fbe_and_thr(
+            s["f_T"], s["Atg_T"], s["resT"], s["gzT"]
+        )
+
+        # --- ONE uniform oracle evaluation, inputs selected per lane:
+        # committing lanes run the tau=1 trial of their NEXT iteration
+        # (forward matvec of d, f at A(x+d), adjoint of its gradient);
+        # halving lanes lazily materialize Az / f(Az) / At grad f(Az) on
+        # their first halving (cached afterwards) and interpolate
+        mv_in = jnp.where(ccol, d_new, s["z_b"])
+        Av = vmv(A, mv_in)
+
+        x_d = jnp.where(ccol, s["xT"] + d_new, s["x_d"])
+        Ax_d = jnp.where(ccol, s["AxT"] + Av, s["Ax_d"])
+        Az = jnp.where(s["abc_valid"][:, None], s["Az"], Av)
+
+        tau = jnp.where(
+            commit, jnp.ones((), R),
+            jnp.where(s["bt"] >= max_backtracks, jnp.zeros((), R),
+                      s["tau"] / 2),
+        )
+        bt = jnp.where(commit, 1, s["bt"] + 1)
+        z_b = jnp.where(ccol, s["zT"], s["z_b"])
+        tcol = tau[:, None]
+        xT = jnp.where(ccol, x_d, tcol * x_d + (1 - tcol) * z_b)
+        AxT = jnp.where(ccol, Ax_d, tcol * Ax_d + (1 - tcol) * Az)
+
+        if quad:
+            # interpolate f along the segment exactly like the driver
+            # (``panoc.jl:217-237``): the f evaluation and adjoint matvec
+            # feed the committing lanes' endpoint and the halving lanes'
+            # first-trial Az quantities
+            fin = jnp.where(ccol, Ax_d, Az)
+            f_val, f_gr = vvg(f, fin)
+            f_d = jnp.where(commit, f_val, s["f_d"])
+            gr_d = jnp.where(ccol, f_gr, s["gr_d"])
+            f_Az = jnp.where(s["abc_valid"], s["f_Az"], f_val)
+            gr_Az = jnp.where(s["abc_valid"][:, None], s["gr_Az"], f_gr)
+            gin = jnp.where(ccol, f_gr, gr_Az)
+            Atg = vrmv(A, gin)
+            Atg_d = jnp.where(ccol, Atg, s["Atg_d"])
+            Atg_Az = jnp.where(s["abc_valid"][:, None], s["Atg_Az"], Atg)
+            cc = jnp.where(s["abc_valid"], s["c"], f_Az)
+            bb = jnp.where(
+                s["abc_valid"], s["b"],
+                _vdot(Ax_d, gr_Az) - _vdot(Az, gr_Az),
+            )
+            aa = jnp.where(s["abc_valid"], s["a"], f_d - bb - cc)
+            f_T = jnp.where(commit, f_val, aa * tau**2 + bb * tau + cc)
+            gr_T = jnp.where(ccol, f_gr, tcol * gr_d + (1 - tcol) * gr_Az)
+            Atg_T = jnp.where(
+                ccol, Atg, tcol * Atg_d + (1 - tcol) * Atg_Az
+            )
+            abc_valid = jnp.logical_not(commit)
+        else:
+            # non-quadratic f: evaluate at the trial point itself (the
+            # committing lanes' tau=1 point IS their endpoint A(x+d))
+            f_val, f_gr = vvg(f, AxT)
+            Atg = vrmv(A, f_gr)
+            f_d = jnp.where(commit, f_val, s["f_d"])
+            gr_d = jnp.where(ccol, f_gr, s["gr_d"])
+            Atg_d = jnp.where(ccol, Atg, s["Atg_d"])
+            f_Az, gr_Az, Atg_Az = s["f_Az"], s["gr_Az"], s["Atg_Az"]
+            aa, bb, cc = s["a"], s["b"], s["c"]
+            abc_valid = jnp.logical_not(commit)
+            f_T, gr_T, Atg_T = f_val, f_gr, Atg
+
+        yT = xT - gcol * Atg_T
+        zT, gzT = vprox(g, yT, gamma)
+        resT = xT - zT
+        fbeT = _f_model(f_T, Atg_T, resT, alpha / gamma) + gzT
+
+        new = dict(
+            x_d=x_d, Ax_d=Ax_d, f_d=f_d, gr_d=gr_d, Atg_d=Atg_d,
+            z_b=z_b,
+            x_b=jnp.where(ccol, s["xT"], s["x_b"]),
+            res_b=jnp.where(ccol, s["resT"], s["res_b"]),
+            thr=jnp.where(commit, thr_commit, s["thr"]),
+            Az=Az, f_Az=f_Az, gr_Az=gr_Az, Atg_Az=Atg_Az,
+            a=aa, b=bb, c=cc, abc_valid=abc_valid,
+            dstate=dstate,
+            tau=tau, bt=bt,
+            xT=xT, AxT=AxT, f_T=f_T, gr_T=gr_T, Atg_T=Atg_T,
+            zT=zT, gzT=gzT, resT=resT, fbeT=fbeT,
+            z_sol=jnp.where(ccol, s["zT"], s["z_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        # freeze inactive lanes entirely (converged or at maxit);
+        # done/trips are global bookkeeping and never roll back
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = jax.lax.while_loop(cond, body, s)
+    return s["z_sol"], s["k"], s["done"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap"),
+)
+def _flat_zerofpr_run(
+    f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
+    directions, trip_cap=None,
+):
+    """Flattened batched fixed-gamma ZeroFPR.
+
+    Each lane alternates a PREP trip (FB quantities at ``xbar``:
+    ``res_xbar``, deferred quasi-Newton update, direction ``d`` —
+    ``zerofpr.jl:181-198``) with TRIAL trips (``x = xbar + tau d`` FBE
+    line search, ``zerofpr.jl:200-217``); every trip spends one uniform
+    oracle slot (forward matvec + f eval + adjoint matvec + prox), with
+    the matvec input selected per lane (PREP feeds ``xbar``, TRIAL feeds
+    ``d`` — recomputing ``A d`` on halvings costs nothing extra since the
+    batched matmul runs anyway).
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    eps = eps_of(x0)
+    vvg, vprox, vmv, vrmv, vinit, vupdate, vapply = _make_vmapped(
+        f, A, g, directions
+    )
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+
+    def vdirection(dstate, v_qn, v_fb):
+        return -vapply(dstate, v_qn) if qn else -v_fb
+
+    gcol = gamma[:, None]
+    sigma = beta * (0.5 / gamma) * (1 - alpha)
+
+    def thr_of(fbe_x, res):
+        return fbe_x - sigma * _norm_sq(res) + 10 * eps * (1 + jnp.abs(fbe_x))
+
+    # --- init: forward_backward_init at x0 (iteration 1)
+    Ax0 = vmv(A, x0)
+    f0, gr0 = vvg(f, Ax0)
+    Atg0 = vrmv(A, gr0)
+    y0 = x0 - gcol * Atg0
+    xbar0, gxb0 = vprox(g, y0, gamma)
+    res0 = x0 - xbar0
+    done0 = _inf_norm(res0) / gamma <= tol
+    fbe_x0 = _f_model(f0, Atg0, res0, alpha / gamma) + gxb0
+
+    dstate0 = vinit(x0)
+    s = dict(
+        phase_prep=jnp.ones((B,), bool),
+        xbar=xbar0, Axbar=Ax0,  # Axbar placeholder; PREP recomputes it
+        res=res0, thr=thr_of(fbe_x0, res0),
+        d=jnp.zeros_like(x0),
+        tau=jnp.ones((B,), R), bt=jnp.ones((B,), jnp.int32),
+        dstate=dstate0,
+        xbar_prev=xbar0, res_xbar_prev=res0,
+        is_prev_set=jnp.zeros((B,), bool),
+        z_sol=xbar0, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 2) + 4 if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        prep = s["phase_prep"]
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        pcol = prep[:, None]
+        tcol = s["tau"][:, None]
+
+        # --- one uniform oracle slot
+        mv_in = jnp.where(pcol, s["xbar"], s["d"])
+        Av = vmv(A, mv_in)
+        Axbar = jnp.where(pcol, Av, s["Axbar"])
+        x_t = s["xbar"] + jnp.where(pcol, jnp.zeros((), R), tcol) * s["d"]
+        Ax_t = jnp.where(pcol, Av, s["Axbar"] + tcol * Av)
+        f_t, gr_t = vvg(f, Ax_t)
+        Atg_t = vrmv(A, gr_t)
+        y_t = x_t - gcol * Atg_t
+        z_t, gz_t = vprox(g, y_t, gamma)
+        r_t = x_t - z_t
+
+        # --- PREP outcome: res_xbar, deferred QN update, direction
+        # (``zerofpr.jl:188-198``); r_t for a PREP lane IS res_xbar
+        dstate_upd = vupdate(
+            s["dstate"], s["xbar"] - s["xbar_prev"],
+            r_t - s["res_xbar_prev"],
+        )
+        do_upd = prep & s["is_prev_set"]
+        dstate = _bwhere(do_upd, dstate_upd, s["dstate"])
+        d_new = vdirection(dstate, r_t, s["res"])
+
+        # --- TRIAL outcome: FBE accept test (``zerofpr.jl:200-217``)
+        fbe_t = _f_model(f_t, Atg_t, r_t, alpha / gamma) + gz_t
+        trial = jnp.logical_not(prep)
+        accept = trial & (
+            (fbe_t <= s["thr"]) | (s["bt"] >= max_backtracks)
+        )
+        acol = accept[:, None]
+        commit = accept & active
+        newly_done = commit & (_inf_norm(r_t) / gamma <= tol)
+        tau_next = jnp.where(
+            s["bt"] >= max_backtracks - 1, jnp.zeros((), R), s["tau"] / 2
+        )
+
+        new = dict(
+            # accept -> PREP next; PREP -> TRIAL next; reject -> TRIAL
+            phase_prep=accept,
+            xbar=jnp.where(acol, z_t, s["xbar"]),
+            Axbar=Axbar,
+            res=jnp.where(acol, r_t, s["res"]),
+            thr=jnp.where(accept, thr_of(fbe_t, r_t), s["thr"]),
+            d=jnp.where(pcol, d_new, s["d"]),
+            tau=jnp.where(
+                prep | accept, jnp.ones((), R),
+                jnp.where(trial, tau_next, s["tau"]),
+            ),
+            bt=jnp.where(
+                prep | accept, 1,
+                jnp.where(trial, s["bt"] + 1, s["bt"]),
+            ),
+            dstate=dstate,
+            xbar_prev=jnp.where(pcol, s["xbar"], s["xbar_prev"]),
+            res_xbar_prev=jnp.where(pcol, r_t, s["res_xbar_prev"]),
+            is_prev_set=s["is_prev_set"] | prep,
+            z_sol=jnp.where(acol, z_t, s["z_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = jax.lax.while_loop(cond, body, s)
+    return s["z_sol"], s["k"], s["done"]
+
+
+def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
+                    beta=0.5, max_backtracks=20, directions=None,
+                    trip_cap=None):
+    """Flattened batched fixed-stepsize ZeroFPR (one oracle evaluation per
+    loop trip; see ``_flat_zerofpr_run``).
+
+    Same calling convention as :func:`batched_panoc`; returns
+    ``(xbar, iters, done)`` matching ``ZeroFPR(gamma=..., adaptive=False)``.
+    """
+    from ..accel.lbfgs import LBFGS
+
+    if directions is None:
+        directions = LBFGS(5)
+    x0 = jnp.asarray(x0)
+    R = jnp.zeros((), x0.dtype).real.dtype
+    gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (x0.shape[0],))
+    return _flat_zerofpr_run(
+        f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
+        int(max_backtracks), directions, trip_cap=trip_cap,
+    )
+
+
+def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
+                  beta=0.5, max_backtracks=20, directions=None,
+                  trip_cap=None):
+    """Flattened batched fixed-stepsize PANOC (one oracle evaluation per
+    loop trip; see module docstring).
+
+    ``f``/``g``: vmap-stacked function pytrees; ``A``: vmap-stacked linop;
+    ``x0``: (B, n); ``gamma``: scalar or (B,) stepsizes.
+    Returns ``(z, iters, done)`` with per-lane accepted-iteration counts
+    equal to the single-problem ``PANOC(gamma=..., adaptive=False)``
+    driver's.
+    """
+    from ..accel.lbfgs import LBFGS
+
+    if directions is None:
+        directions = LBFGS(5)
+    x0 = jnp.asarray(x0)
+    R = jnp.zeros((), x0.dtype).real.dtype
+    gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (x0.shape[0],))
+    return _flat_panoc_run(
+        f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
+        int(max_backtracks), directions, trip_cap=trip_cap,
+    )

@@ -1,0 +1,282 @@
+"""Flattened batched tau-linesearch machines: exact per-lane parity with
+the single-problem drivers (counts exact; solutions to batched-vs-single
+matmul roundoff, far below tol)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import proxtpu as pa
+from proxtpu.accel.noaccel import NoAcceleration
+from proxtpu.algorithms.panoc import make_panoc_iteration
+from proxtpu.ops.linops import MatrixOperator
+from proxtpu.parallel import BatchedAlgorithm, batched_panoc, batched_zerofpr
+from proxtpu.prox import LogisticLoss, NormL1, SqrDistance
+
+TOL = 1e-6
+B, M, N = 6, 10, 16
+
+
+def problems(seed=0):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.standard_normal((B, M, N)))
+    b = jnp.asarray(rng.standard_normal((B, M)))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum(
+            "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1)
+    )
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) for i in range(B)]
+    )
+    return A, b, lam, Lf
+
+
+def assert_parity(z, iters, solver, make_single, atol=1e-8):
+    for i in range(B):
+        x, it = make_single(solver, i)
+        assert it == int(iters[i]), f"lane {i}: {it} != {int(iters[i])}"
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=atol
+        )
+
+
+@pytest.mark.parametrize("max_backtracks", [20, 2])
+def test_flat_panoc_quad(max_backtracks):
+    """Quadratic-f PANOC (the interpolation shortcut path), including the
+    forced tau=0 exhaustion path at max_backtracks=2."""
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=1000,
+        max_backtracks=max_backtracks,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=1000, max_backtracks=max_backtracks)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_panoc_nonquad():
+    """Non-quadratic f (logistic): the direct-evaluation trial path.
+
+    Long-horizon iteration counts are chaotic for line searches (1-ulp
+    differences between differently-structured programs flip knife-edge
+    FBE trials, and the trajectories then diverge), so the parity
+    contract here is the reference's equivalence-test device: a short
+    fixed-length zip against the single driver with tight trajectory
+    tolerance, plus converged solutions at physical accuracy."""
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((B, M, N)) * 0.5)
+    lam = jnp.full((B,), 0.05)
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) / 4 for i in range(B)]
+    )
+    f = jax.vmap(LogisticLoss)(jnp.ones((B,)))
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+
+    # 15-step zip: flat z after maxit=k equals the single driver's z after
+    # k-1 steps (init counts as iteration 1), before chaos can amplify
+    singles = []
+    for i in range(B):
+        it = make_panoc_iteration(x0=jnp.zeros(N), f=LogisticLoss(1.0),
+                                  A=A[i], g=NormL1(lam[i]), Lf=Lf[i])
+        s = it.init()
+        traj = [np.asarray(s.z)]
+        for _ in range(14):
+            s = it.step(s)
+            traj.append(np.asarray(s.z))
+        singles.append(traj)
+    for k in (1, 5, 10, 15):
+        z, iters, _ = batched_panoc(
+            f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, 0.0, maxit=k,
+        )
+        assert all(int(i) == k for i in iters)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(z[i]), singles[i][k - 1], rtol=0, atol=1e-10
+            )
+
+    # full solve: converged, and solutions match the single driver's
+    # fixed point at physical (tol-amplified) accuracy
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=2000,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=2000)
+    for i in range(B):
+        x, _ = solver(x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i],
+                      g=NormL1(lam[i]), Lf=Lf[i])
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-4
+        )
+
+
+def test_flat_panoc_noaccel():
+    A, b, lam, Lf = problems(2)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=5000,
+        directions=NoAcceleration(),
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=5000, directions=NoAcceleration())
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_panoc_maxit_cap():
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, 0.0, maxit=7,
+    )
+    assert not bool(jnp.any(done))
+    assert all(int(i) == 7 for i in iters)
+
+
+@pytest.mark.parametrize("max_backtracks", [20, 3])
+def test_flat_zerofpr_lasso(max_backtracks):
+    """Flat ZeroFPR vs the single driver on lasso (ZeroFPR has no quad
+    shortcut — every trial evaluates directly), incl. tau-exhaustion."""
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_zerofpr(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=1000,
+        max_backtracks=max_backtracks,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.ZeroFPR(tol=TOL, maxit=1000, max_backtracks=max_backtracks)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_zerofpr_noaccel():
+    # tol 1e-4: plain -res directions converge slowly on this problem
+    # (the single driver also caps out at tighter tolerances)
+    tol = 1e-4
+    A, b, lam, Lf = problems(2)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_zerofpr(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, tol, maxit=5000,
+        directions=NoAcceleration(),
+    )
+    assert bool(jnp.all(done))
+    solver = pa.ZeroFPR(tol=tol, maxit=5000, directions=NoAcceleration())
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_zerofpr_nonquad_zip():
+    """Short fixed-horizon zip on logistic f (see the PANOC analogue for
+    why long-horizon counts are chaotic)."""
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((B, M, N)) * 0.5)
+    lam = jnp.full((B,), 0.05)
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) / 4 for i in range(B)]
+    )
+    f = jax.vmap(LogisticLoss)(jnp.ones((B,)))
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
+
+    singles = []
+    for i in range(B):
+        it = make_zerofpr_iteration(x0=jnp.zeros(N), f=LogisticLoss(1.0),
+                                    A=A[i], g=NormL1(lam[i]), Lf=Lf[i])
+        s = it.init()
+        traj = [np.asarray(s.xbar)]
+        for _ in range(14):
+            s = it.step(s)
+            traj.append(np.asarray(s.xbar))
+        singles.append(traj)
+    for k in (1, 5, 15):
+        z, iters, _ = batched_zerofpr(
+            f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, 0.0, maxit=k,
+        )
+        assert all(int(i) == k for i in iters)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(z[i]), singles[i][k - 1], rtol=0, atol=1e-10
+            )
+
+
+def test_batched_algorithm_routes_panoc_to_flat():
+    """BatchedAlgorithm auto-routes fixed-stepsize batched PANOC to the
+    flat machine, with the same results as the forced generic driver."""
+    A, b, lam, Lf = problems(3)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    kwargs = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=A, Lf=Lf)
+    assert match_flat_linesearch(
+        make_panoc_iteration, kwargs, tol=TOL, maxit=500
+    ) is not None
+    # adaptive or custom stop falls back
+    assert match_flat_linesearch(
+        make_panoc_iteration, {**kwargs, "adaptive": True},
+        tol=TOL, maxit=500,
+    ) is None
+
+    auto = BatchedAlgorithm(make_panoc_iteration, maxit=500, tol=TOL)
+    zs, its, done = auto(**kwargs)
+    generic = BatchedAlgorithm(
+        make_panoc_iteration, maxit=500, tol=TOL, use_kernels=False
+    )
+    zg, itg, dg = generic(**{**kwargs, "A": jax.vmap(MatrixOperator)(A)})
+    assert bool(jnp.all(done)) and bool(jnp.all(dg))
+    np.testing.assert_array_equal(np.asarray(its), np.asarray(itg))
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(zg), rtol=0, atol=1e-8
+    )
+
+
+def test_batched_algorithm_routes_zerofpr_to_flat():
+    from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    A, b, lam, Lf = problems(4)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    kwargs = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=A, Lf=Lf)
+    assert match_flat_linesearch(
+        make_zerofpr_iteration, kwargs, tol=TOL, maxit=500
+    ) is not None
+
+    auto = BatchedAlgorithm(make_zerofpr_iteration, maxit=500, tol=TOL)
+    zs, its, done = auto(**kwargs)
+    generic = BatchedAlgorithm(
+        make_zerofpr_iteration, maxit=500, tol=TOL, use_kernels=False
+    )
+    zg, itg, dg = generic(**{**kwargs, "A": jax.vmap(MatrixOperator)(A)})
+    assert bool(jnp.all(done)) and bool(jnp.all(dg))
+    np.testing.assert_array_equal(np.asarray(its), np.asarray(itg))
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(zg), rtol=0, atol=1e-8
+    )

@@ -51,7 +51,8 @@ def drls_default_gamma(f, mf, Lf, alpha, lam):
 
 def drls_C(f, mf, Lf, gamma, lam):
     a = gamma * Lf if (mf is None or mf <= 0) else 1 / (gamma * mf)
-    m = max(a - lam / 2, 0) if is_convex(f) else 1
+    # jnp.maximum (not python max) so per-lane array Lf/gamma work batched
+    m = jnp.maximum(a - lam / 2, 0) if is_convex(f) else 1
     return lam / ((1 + a) ** 2) * ((2 - lam) / 2 - a * m)
 
 

@@ -127,10 +127,13 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     _FLAT_LS = {
         "make_panoc_iteration": "batched_panoc",
         "make_zerofpr_iteration": "batched_zerofpr",
+        "make_drls_iteration": "batched_drls",
     }
     if name not in _FLAT_LS:
         return None
     gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
+    if name == "make_drls_iteration":
+        return _match_flat_drls(kwargs, tol=tol, maxit=maxit)
     adaptive = kwargs.get("adaptive")
     if adaptive is None:
         # factory semantics: gamma derives from Lf first, then
@@ -197,6 +200,88 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     return lambda: runner(
         f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,
         max_backtracks=max_backtracks, directions=directions,
+    )
+
+
+def _match_flat_drls(kwargs, *, tol, maxit):
+    """DRLS leg of :func:`match_flat_linesearch` (no linear operator; f has
+    accessible prox; gamma/c derived per lane exactly like the factory,
+    ``drls.jl:11-22``)."""
+    x0, f, g = kwargs.get("x0"), kwargs.get("f"), kwargs.get("g")
+    if x0 is None or f is None or g is None:
+        return None
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 2:
+        return None
+    B = x0.shape[0]
+    for leaf in jax.tree.leaves((f, g)):
+        shp = jnp.shape(leaf)
+        if len(shp) == 0 or shp[0] != B:
+            return None
+
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+    from ..accel.lbfgs import LBFGS
+
+    directions = kwargs.get("directions")
+    if directions is None:
+        directions = LBFGS(5)
+    if getattr(directions, "style", None) not in (
+        QUASI_NEWTON, NO_ACCELERATION,
+    ):
+        return None
+
+    mf = kwargs.get("mf")
+    if mf is not None and jnp.ndim(mf) != 0:
+        return None  # per-lane strong-convexity constants: generic driver
+    gamma, Lf, c = kwargs.get("gamma"), kwargs.get("Lf"), kwargs.get("c")
+    if gamma is None and Lf is None and (mf is None or mf <= 0):
+        return None
+    alpha = float(kwargs.get("alpha", 0.95))
+    beta = float(kwargs.get("beta", 0.5))
+    lam = kwargs.get("lambda_")
+    if lam is None:
+        lam = kwargs.get("lam", 1.0)
+
+    from ..prox.base import is_convex
+
+    R = jnp.zeros((), x0.dtype).real.dtype
+    lam_v = jnp.broadcast_to(jnp.asarray(lam, R), (B,))
+    # per-lane drls_default_gamma / drls_C with jnp arithmetic (the factory's
+    # scalar formulas, ``drls.jl:11-22``)
+    if gamma is None:
+        if mf is not None and mf > 0:
+            gamma_v = jnp.full((B,), 1 / (alpha * mf), R)
+        elif is_convex(f):
+            gamma_v = alpha / jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
+        else:
+            gamma_v = (
+                alpha * (2 - lam_v)
+                / (2 * jnp.broadcast_to(jnp.asarray(Lf, R), (B,)))
+            )
+    else:
+        gamma_v = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
+    if c is None:
+        if Lf is None and (mf is None or mf <= 0):
+            return None  # factory would fail deriving c without Lf
+        if mf is not None and mf > 0:
+            a = 1 / (gamma_v * mf)
+        else:
+            a = gamma_v * jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
+        m = jnp.maximum(a - lam_v / 2, 0) if is_convex(f) else 1.0
+        c_v = beta * (
+            lam_v / ((1 + a) ** 2) * ((2 - lam_v) / 2 - a * m)
+        )
+    else:
+        c_v = jnp.broadcast_to(jnp.asarray(c, R), (B,))
+    dre_sign = 1 if (mf is None or mf <= 0) else -1
+    max_backtracks = int(kwargs.get("max_backtracks", 20))
+
+    from .. import parallel as _par
+
+    return lambda: _par.batched_drls(
+        f, g, x0, gamma_v, lam_v, c_v, tol, maxit=maxit,
+        max_backtracks=max_backtracks, directions=directions,
+        dre_sign=dre_sign,
     )
 
 

@@ -15,7 +15,7 @@ from .adaptive_batch import (
     batched_adaptive_fb,
     batched_adaptive_fista,
 )
-from .flat_ls import batched_panoc, batched_zerofpr
+from .flat_ls import batched_drls, batched_panoc, batched_zerofpr
 from .batch import (
     BatchedAlgorithm,
     batch_problems,
@@ -42,7 +42,9 @@ __all__ = [
     "BatchedAlgorithm",
     "batched_adaptive_fb",
     "batched_adaptive_fista",
+    "batched_drls",
     "batched_panoc",
+    "batched_zerofpr",
     "batch_problems",
     "batched_run_loop",
     "compacting_batched_run",

@@ -443,6 +443,230 @@ def _flat_zerofpr_run(
     return s["z_sol"], s["k"], s["done"]
 
 
+def _dot_real_unconj(a, b):
+    """Per-lane real(sum(a .* b)) WITHOUT conjugation — the reference's DRE
+    uses the unconjugated ``dot`` (``drls.jl:90-98``, see ``_dre``)."""
+    d = jnp.sum(a * b, axis=1)
+    return d.real if jnp.iscomplexobj(d) else d
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "dre_sign",
+                     "trip_cap"),
+)
+def _flat_drls_run(
+    f, g, x0, gamma, lam, c, tol, maxit, max_backtracks, directions,
+    dre_sign, trip_cap=None,
+):
+    """Flattened batched DRLS (fixed gamma — DRLS has no adaptive mode).
+
+    Every trip spends one uniform prox_f + prox_g slot per lane: a
+    committing lane evaluates the tau=1 trial of its next iteration
+    (prox_f at ``x + d``), a halving lane either evaluates its trial
+    point directly (non-quadratic f) or materializes the interpolation
+    endpoint ``u0 = prox_f(xbar_prev)`` on its first halving and
+    interpolates afterwards (``drls.jl:172-184``); prox_g at ``2u - x``
+    runs for every lane.  The quasi-Newton update happens on the commit
+    trip with ``(d, res_tau1 - res_committed)`` — the reference updates at
+    the tau=1 trial (``drls.jl:143-150``), which IS the commit trip here.
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    quad = is_generalized_quadratic(f)
+    vprox_f = jax.vmap(lambda fi, u, gam: prox(fi, u, gam))
+    vprox_g = jax.vmap(lambda gi, u, gam: prox(gi, u, gam))
+    vinit = jax.vmap(lambda x: directions.init_state(x))
+    vupdate = jax.vmap(lambda ds, s, y: directions.update(ds, s, y))
+    vapply = jax.vmap(lambda ds, v: directions.apply(ds, v))
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+
+    gcol = gamma[:, None]
+    lcol = lam[:, None]
+
+    def dre_of(f_u, g_v, x, u, res):
+        return (
+            f_u + g_v - _dot_real_unconj(x - u, res) / gamma
+            + _norm_sq(res) / (2 * gamma)
+        )
+
+    def thr_of(dre, res):
+        return dre_sign * dre - (c / gamma) * _norm_sq(res)
+
+    def vdirection(dstate, res, xbar, x):
+        # reference ``drls.jl:127-138``: -(H res) for quasi-Newton,
+        # xbar - x (= -lam*res) for no acceleration
+        return -vapply(dstate, res) if qn else xbar - x
+
+    # --- init (iteration 1): DR quantities at x0 (``drls.jl:init``)
+    u_i, f_u_i = vprox_f(f, x0, gamma)
+    w_i = 2 * u_i - x0
+    v_i, g_v_i = vprox_g(g, w_i, gamma)
+    res_i = u_i - v_i
+    xbar_i = x0 - lcol * res_i
+    done0 = _inf_norm(res_i) / gamma <= tol
+    thr0 = thr_of(dre_of(f_u_i, g_v_i, x0, u_i, res_i), res_i)
+
+    # first tau=1 trial (of iteration 2's search)
+    dstate0 = vinit(x0)
+    d0 = vdirection(dstate0, res_i, xbar_i, x0)
+    x_d0 = x0 + d0
+    uT0, f_uT0 = vprox_f(f, x_d0, gamma)
+    wT0 = 2 * uT0 - x_d0
+    vT0, g_vT0 = vprox_g(g, wT0, gamma)
+    resT0 = uT0 - vT0
+    xbarT0 = x_d0 - lcol * resT0
+    dreT0 = dre_of(f_uT0, g_vT0, x_d0, uT0, resT0)
+    if qn:
+        dstate0 = vupdate(dstate0, d0, resT0 - res_i)
+
+    zeros_s = jnp.zeros((B,), R)
+    s = dict(
+        # search context
+        x_d=x_d0, xbar_b=xbar_i, thr=thr0, f_u1=f_uT0,
+        u0=uT0, u1=uT0, a=zeros_s, b=zeros_s, cH=zeros_s,
+        abc_valid=jnp.zeros((B,), bool),
+        dstate=dstate0,
+        # current trial
+        tau=jnp.ones((B,), R), bt=jnp.ones((B,), jnp.int32),
+        xT=x_d0, uT=uT0, vT=vT0, resT=resT0, xbarT=xbarT0,
+        f_uT=f_uT0, g_vT=g_vT0, dreT=dreT0,
+        # outputs
+        v_sol=v_i, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 2) + 4 if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        accept = (dre_sign * s["dreT"] <= s["thr"]) | (
+            s["bt"] > max_backtracks
+        )
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        commit = accept & active
+        ccol = commit[:, None]
+
+        # --- commit-side (pre-oracle): new threshold, fresh direction
+        thr_c = thr_of(s["dreT"], s["resT"])
+        d_new = vdirection(s["dstate"], s["resT"], s["xbarT"], s["xT"])
+        x_d_c = s["xT"] + d_new
+        newly_done = commit & (_inf_norm(s["resT"]) / gamma <= tol)
+
+        # --- halve-side trial point
+        tau_h = jnp.where(
+            s["bt"] >= max_backtracks, jnp.zeros((), R), s["tau"] / 2
+        )
+        tcol = tau_h[:, None]
+        x_h = tcol * s["x_d"] + (1 - tcol) * s["xbar_b"]
+
+        # --- ONE uniform prox_f slot (commit: fresh tau=1 point; halving
+        # quad: interpolation endpoint xbar_prev; halving non-quad: the
+        # trial point itself)
+        pf_in = jnp.where(ccol, x_d_c, s["xbar_b"] if quad else x_h)
+        u_p, f_p = vprox_f(f, pf_in, gamma)
+
+        if quad:
+            avalid = s["abc_valid"]
+            u0 = jnp.where(avalid[:, None], s["u0"], u_p)
+            cH = jnp.where(avalid, s["cH"], f_p)
+            bb = jnp.where(
+                avalid, s["b"],
+                _vdot(s["xbar_b"] - s["x_d"], s["xbar_b"] - u0) / gamma,
+            )
+            aa = jnp.where(avalid, s["a"], s["f_u1"] - bb - cH)
+            u_trial_h = tcol * s["u1"] + (1 - tcol) * u0
+            f_trial_h = aa * tau_h**2 + bb * tau_h + cH
+        else:
+            u0, aa, bb, cH = s["u0"], s["a"], s["b"], s["cH"]
+            u_trial_h, f_trial_h = u_p, f_p
+
+        uT = jnp.where(ccol, u_p, u_trial_h)
+        f_uT = jnp.where(commit, f_p, f_trial_h)
+        xT = jnp.where(ccol, x_d_c, x_h)
+        wT = 2 * uT - xT
+        vT, g_vT = vprox_g(g, wT, gamma)
+        resT = uT - vT
+        xbarT = xT - lcol * resT
+        dreT = dre_of(f_uT, g_vT, xT, uT, resT)
+
+        if qn:
+            dstate_upd = vupdate(s["dstate"], d_new, resT - s["resT"])
+            dstate = _bwhere(commit, dstate_upd, s["dstate"])
+        else:
+            dstate = s["dstate"]
+
+        new = dict(
+            x_d=jnp.where(ccol, x_d_c, s["x_d"]),
+            xbar_b=jnp.where(ccol, s["xbarT"], s["xbar_b"]),
+            thr=jnp.where(commit, thr_c, s["thr"]),
+            f_u1=jnp.where(commit, f_p, s["f_u1"]),
+            u0=jnp.where(ccol, u_p, u0),
+            u1=jnp.where(ccol, u_p, s["u1"]),
+            a=jnp.where(commit, jnp.zeros((), R), aa),
+            b=jnp.where(commit, jnp.zeros((), R), bb),
+            cH=jnp.where(commit, jnp.zeros((), R), cH),
+            abc_valid=(
+                jnp.logical_not(commit) if quad
+                else jnp.zeros((B,), bool)
+            ),
+            dstate=dstate,
+            tau=jnp.where(commit, jnp.ones((), R), tau_h),
+            bt=jnp.where(commit, 1, s["bt"] + 1),
+            xT=xT, uT=uT, vT=vT, resT=resT, xbarT=xbarT,
+            f_uT=f_uT, g_vT=g_vT, dreT=dreT,
+            v_sol=jnp.where(ccol, s["vT"], s["v_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = jax.lax.while_loop(cond, body, s)
+    return s["v_sol"], s["k"], s["done"]
+
+
+def batched_drls(f, g, x0, gamma, lam, c, tol, maxit=1000,
+                 max_backtracks=20, directions=None, dre_sign=1,
+                 trip_cap=None):
+    """Flattened batched DRLS (one prox_f + prox_g per loop trip; see
+    ``_flat_drls_run``).
+
+    ``f``/``g``: vmap-stacked function pytrees (f with accessible prox);
+    ``x0``: (B, n); ``gamma``/``lam``/``c``: scalar or (B,).  Returns
+    ``(v, iters, done)`` matching the single-problem ``DRLS(...)`` driver.
+    """
+    from ..accel.lbfgs import LBFGS
+
+    if directions is None:
+        directions = LBFGS(5)
+    x0 = jnp.asarray(x0)
+    R = jnp.zeros((), x0.dtype).real.dtype
+    B = x0.shape[0]
+    gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
+    lam = jnp.broadcast_to(jnp.asarray(lam, R), (B,))
+    c = jnp.broadcast_to(jnp.asarray(c, R), (B,))
+    return _flat_drls_run(
+        f, g, x0, gamma, lam, c, tol, maxit, int(max_backtracks),
+        directions, int(dre_sign), trip_cap=trip_cap,
+    )
+
+
 def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                     beta=0.5, max_backtracks=20, directions=None,
                     trip_cap=None):

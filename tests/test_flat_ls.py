@@ -11,8 +11,19 @@ import proxtpu as pa
 from proxtpu.accel.noaccel import NoAcceleration
 from proxtpu.algorithms.panoc import make_panoc_iteration
 from proxtpu.ops.linops import MatrixOperator
-from proxtpu.parallel import BatchedAlgorithm, batched_panoc, batched_zerofpr
-from proxtpu.prox import LogisticLoss, NormL1, SqrDistance
+from proxtpu.parallel import (
+    BatchedAlgorithm,
+    batched_drls,
+    batched_panoc,
+    batched_zerofpr,
+)
+from proxtpu.prox import (
+    ElasticNet,
+    LogisticLoss,
+    NormL1,
+    SqrDistance,
+    make_least_squares,
+)
 
 TOL = 1e-6
 B, M, N = 6, 10, 16
@@ -223,6 +234,110 @@ def test_flat_zerofpr_nonquad_zip():
             np.testing.assert_allclose(
                 np.asarray(z[i]), singles[i][k - 1], rtol=0, atol=1e-10
             )
+
+
+def drls_c_per_lane(gamma, Lf, beta=0.5, lam=1.0):
+    """Per-lane factory default c = beta * drls_C(convex f, no mf)."""
+    from proxtpu.algorithms.drls import drls_C
+    from proxtpu.prox import SqrNormL2
+
+    return jnp.asarray([
+        beta * drls_C(SqrNormL2(), None, float(Lf[i]), float(gamma[i]), lam)
+        for i in range(B)
+    ])
+
+
+@pytest.mark.parametrize("max_backtracks", [20, 2])
+def test_flat_drls_quad(max_backtracks):
+    """Quadratic-f DRLS (prox-interpolation shortcut, ``drls.jl:172-184``),
+    incl. the forced tau=0 exhaustion path."""
+    A, b, lam, Lf = problems()
+    f = jax.vmap(lambda Ai, bi: make_least_squares(Ai, bi))(A, b)
+    g = jax.vmap(NormL1)(lam)
+    gamma = 0.95 / Lf
+    z, iters, done = batched_drls(
+        f, g, jnp.zeros((B, N)), gamma, 1.0, drls_c_per_lane(gamma, Lf),
+        TOL, maxit=1000, max_backtracks=max_backtracks,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.DRLS(tol=TOL, maxit=1000, max_backtracks=max_backtracks)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=make_least_squares(A[i], b[i]),
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_drls_nonquad():
+    """Non-quadratic prox-accessible f (ElasticNet): the direct prox trial
+    path, with explicit gamma/c (no Lf derivation)."""
+    from proxtpu.prox import Translate
+
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.standard_normal((B, N)))
+    _, _, lam, _ = problems(5)
+    f = jax.vmap(lambda ti: Translate(ElasticNet(0.3, 1.0), ti))(t)
+    g = jax.vmap(NormL1)(lam)
+    z, iters, done = batched_drls(
+        f, g, jnp.ones((B, N)), 0.8, 1.0, 0.01, TOL, maxit=2000,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.DRLS(tol=TOL, maxit=2000, gamma=0.8, c=0.01)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.ones(N), f=Translate(ElasticNet(0.3, 1.0), t[i]),
+                       g=NormL1(lam[i])),
+    )
+
+
+def test_flat_drls_noaccel():
+    A, b, lam, Lf = problems(6)
+    f = jax.vmap(lambda Ai, bi: make_least_squares(Ai, bi))(A, b)
+    g = jax.vmap(NormL1)(lam)
+    gamma = 0.95 / Lf
+    z, iters, done = batched_drls(
+        f, g, jnp.zeros((B, N)), gamma, 1.0, drls_c_per_lane(gamma, Lf),
+        TOL, maxit=5000, directions=NoAcceleration(),
+    )
+    assert bool(jnp.all(done))
+    solver = pa.DRLS(tol=TOL, maxit=5000, directions=NoAcceleration())
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=make_least_squares(A[i], b[i]),
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_batched_algorithm_routes_drls_to_flat():
+    from proxtpu.algorithms.drls import make_drls_iteration
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    A, b, lam, Lf = problems(7)
+    f = jax.vmap(lambda Ai, bi: make_least_squares(Ai, bi))(A, b)
+    g = jax.vmap(NormL1)(lam)
+    kwargs = dict(x0=jnp.zeros((B, N)), f=f, g=g, Lf=Lf)
+    assert match_flat_linesearch(
+        make_drls_iteration, kwargs, tol=TOL, maxit=500
+    ) is not None
+    # Nesterov directions fall back to the generic driver
+    assert match_flat_linesearch(
+        make_drls_iteration,
+        {**kwargs, "directions": pa.NesterovExtrapolation(
+            pa.FixedNesterovSequence())},
+        tol=TOL, maxit=500,
+    ) is None
+
+    auto = BatchedAlgorithm(make_drls_iteration, maxit=500, tol=TOL)
+    zs, its, done = auto(**kwargs)
+    generic = BatchedAlgorithm(
+        make_drls_iteration, maxit=500, tol=TOL, use_kernels=False
+    )
+    zg, itg, dg = generic(**kwargs)
+    assert bool(jnp.all(done)) and bool(jnp.all(dg))
+    np.testing.assert_array_equal(np.asarray(its), np.asarray(itg))
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(zg), rtol=0, atol=1e-8
+    )
 
 
 def test_batched_algorithm_routes_panoc_to_flat():

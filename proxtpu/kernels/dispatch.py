@@ -128,18 +128,22 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
         "make_panoc_iteration": "batched_panoc",
         "make_zerofpr_iteration": "batched_zerofpr",
         "make_drls_iteration": "batched_drls",
+        "make_panocplus_iteration": "batched_panocplus",
     }
     if name not in _FLAT_LS:
         return None
     gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
     if name == "make_drls_iteration":
         return _match_flat_drls(kwargs, tol=tol, maxit=maxit)
+    panocplus = name == "make_panocplus_iteration"
     adaptive = kwargs.get("adaptive")
     if adaptive is None:
         # factory semantics: gamma derives from Lf first, then
         # adaptive defaults to (gamma is None)
         adaptive = gamma is None and Lf is None
-    if adaptive or (gamma is None and Lf is None):
+    if not panocplus and (adaptive or (gamma is None and Lf is None)):
+        # PANOC/ZeroFPR flat machines are fixed-stepsize only; PANOCplus
+        # interleaves the gamma search in the lanes and handles adaptive
         return None
     x0 = kwargs.get("x0")
     f, g = kwargs.get("f"), kwargs.get("g")
@@ -189,17 +193,25 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     R = jnp.zeros((), x0.dtype).real.dtype
     if gamma is not None:
         gamma_v = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
-    else:
+    elif Lf is not None:
         gamma_v = alpha / jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
+    else:
+        gamma_v = None  # PANOCplus only: estimated in-graph per lane
 
     from .. import parallel as _par
 
     runner = getattr(_par, _FLAT_LS[name])
     max_backtracks = int(kwargs.get("max_backtracks", 20))
+    extra = {}
+    if panocplus:
+        extra = dict(
+            adaptive=bool(adaptive) or gamma_v is None,
+            minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
+        )
 
     return lambda: runner(
         f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,
-        max_backtracks=max_backtracks, directions=directions,
+        max_backtracks=max_backtracks, directions=directions, **extra,
     )
 
 

@@ -15,7 +15,12 @@ from .adaptive_batch import (
     batched_adaptive_fb,
     batched_adaptive_fista,
 )
-from .flat_ls import batched_drls, batched_panoc, batched_zerofpr
+from .flat_ls import (
+    batched_drls,
+    batched_panoc,
+    batched_panocplus,
+    batched_zerofpr,
+)
 from .batch import (
     BatchedAlgorithm,
     batch_problems,
@@ -44,6 +49,7 @@ __all__ = [
     "batched_adaptive_fista",
     "batched_drls",
     "batched_panoc",
+    "batched_panocplus",
     "batched_zerofpr",
     "batch_problems",
     "batched_run_loop",

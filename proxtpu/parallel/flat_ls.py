@@ -667,6 +667,256 @@ def batched_drls(f, g, x0, gamma, lam, c, tol, maxit=1000,
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "adaptive",
+                     "estimate_gamma", "init_backtracks", "trip_cap"),
+)
+def _flat_panocplus_run(
+    f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
+    directions, adaptive, minimum_gamma, estimate_gamma=False,
+    init_backtracks=40, trip_cap=None,
+):
+    """Flattened batched PANOCplus — fixed OR adaptive gamma.
+
+    PANOCplus interleaves the gamma backtracking *inside* the tau line
+    search (``panocplus.jl:168-240``), which makes it the natural fit for
+    lane-flattening: every trip evaluates ONE trial per lane (full
+    forward/adjoint pass at the trial point plus the ``Az`` pass the
+    algorithm always needs), then each lane independently SHRINKS gamma
+    (resetting its direction state and restarting its search at tau=1),
+    COMMITS the trial as its next iterate, or HALVES tau.  The driver pays
+    the same two matvec pairs per trial — the flat machine just stops
+    paying for ``max_backtracks`` masked trials per iteration.
+
+    The adaptive cold start (the reference's init-time
+    ``backtrack_stepsize``, ``panocplus.jl:104``) runs once as a bounded
+    masked fori over ``init_backtracks`` trials — waste at init only,
+    never per iteration.
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    eps = eps_of(x0)
+    vvg, vprox, vmv, vrmv, vinit, vupdate, vapply = _make_vmapped(
+        f, A, g, directions
+    )
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+    if qn:
+        vreset = jax.vmap(lambda ds: directions.reset(ds))
+
+    def vdirection(dstate, v):
+        return -vapply(dstate, v) if qn else -v
+
+    def fmodel(f_x, At_g, res, gam):
+        return _f_model(f_x, At_g, res, alpha / gam)
+
+    # --- init: forward_backward_init (+ adaptive gamma search) at x0
+    Ax0 = vmv(A, x0)
+    f0, gr0 = vvg(f, Ax0)
+    Atg0 = vrmv(A, gr0)
+    if estimate_gamma:
+        # per-lane lower_bound_smoothness_constant (``fb_tools.jl:7-19``)
+        _, gr_eps = vvg(f, vmv(A, x0 + 1))
+        L_est = jnp.sqrt(_norm_sq(vrmv(A, gr_eps - gr0))) / jnp.sqrt(
+            jnp.asarray(float(n), R)
+        )
+        gamma = alpha / L_est
+
+    def fb_at(gam):
+        gc = gam[:, None]
+        y = x0 - gc * Atg0
+        z, gz = vprox(g, y, gam)
+        res = x0 - z
+        upp = fmodel(f0, Atg0, res, gam)
+        Az = vmv(A, z)
+        f_Az, gr_Az = vvg(f, Az)
+        return dict(gamma=gam, z=z, gz=gz, res=res, upp=upp,
+                    f_Az=f_Az, gr_Az=gr_Az)
+
+    c0 = fb_at(gamma)
+    if adaptive:
+        def accepted(c):
+            tol_b = 10 * eps * (1 + jnp.abs(c["f_Az"]))
+            return (c["f_Az"] <= c["upp"] + tol_b) | (
+                c["gamma"] < minimum_gamma
+            )
+
+        def masked_trial(_, c):
+            keep = accepted(c)
+            new = fb_at(c["gamma"] * 0.5)
+            return {k: _bwhere(keep, c[k], new[k]) for k in c}
+
+        c0 = jax.lax.fori_loop(0, init_backtracks, masked_trial, c0)
+
+    gamma0 = c0["gamma"]
+    z0, gz0, res0 = c0["z"], c0["gz"], c0["res"]
+    At_gz0 = vrmv(A, c0["gr_Az"])
+    done0 = (
+        _inf_norm(res0 / gamma0[:, None] - Atg0 + At_gz0) <= tol
+    )
+    fbe0 = c0["upp"] + gz0
+    sigma0 = beta * (0.5 / gamma0) * (1 - alpha)
+    thr0 = fbe0 - sigma0 * _norm_sq(res0) + 10 * eps * (1 + jnp.abs(fbe0))
+
+    dstate0 = vinit(x0)
+    s = dict(
+        x_b=x0, res_b=res0, thr=thr0, gamma=gamma0, dstate=dstate0,
+        d=vdirection(dstate0, res0),
+        tau=jnp.ones((B,), R), bt=jnp.zeros((B,), jnp.int32),
+        z_sol=z0, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 2) * (3 if adaptive else 1) + 4
+        if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        gamma = s["gamma"]
+        gcol = gamma[:, None]
+        tcol = s["tau"][:, None]
+
+        # --- evaluate the pending trial (``panocplus.jl:178-207``)
+        x_t = (1 - tcol) * (s["x_b"] - s["res_b"]) + tcol * (
+            s["x_b"] + s["d"]
+        )
+        Ax_t = vmv(A, x_t)
+        f_t, gr_t = vvg(f, Ax_t)
+        Atg_t = vrmv(A, gr_t)
+        y_t = x_t - gcol * Atg_t
+        z_t, gz_t = vprox(g, y_t, gamma)
+        res_t = x_t - z_t
+        upp_t = fmodel(f_t, Atg_t, res_t, gamma)
+        Az_t = vmv(A, z_t)
+        f_Az_t, gr_Az_t = vvg(f, Az_t)
+        At_gz_t = vrmv(A, gr_Az_t)
+
+        # --- decide: shrink gamma / commit / halve tau
+        if adaptive:
+            tol_b = 10 * eps * (1 + jnp.abs(f_Az_t))
+            shrink = (f_Az_t > upp_t + tol_b) & (gamma >= minimum_gamma)
+        else:
+            shrink = jnp.zeros((B,), bool)
+        fbe_t = upp_t + gz_t
+        finish = (fbe_t <= s["thr"]) | (s["bt"] >= max_backtracks)
+        commit = jnp.logical_not(shrink) & finish & active
+        shrink = shrink & active
+        ccol = commit[:, None]
+
+        if qn:
+            dstate = _bwhere(
+                commit,
+                vupdate(s["dstate"], x_t - s["x_b"], res_t - s["res_b"]),
+                s["dstate"],
+            )
+            dstate = _bwhere(shrink, vreset(dstate), dstate)
+        else:
+            dstate = s["dstate"]
+
+        gamma_n = jnp.where(shrink, gamma * 0.5, gamma)
+        x_b = jnp.where(ccol, x_t, s["x_b"])
+        res_b = jnp.where(ccol, res_t, s["res_b"])
+        sigma_n = beta * (0.5 / gamma_n) * (1 - alpha)
+        thr = jnp.where(
+            commit,
+            fbe_t - sigma_n * _norm_sq(res_t)
+            + 10 * eps * (1 + jnp.abs(fbe_t)),
+            s["thr"],
+        )
+
+        fresh = commit | shrink
+        d = jnp.where(
+            fresh[:, None], vdirection(dstate, res_b), s["d"]
+        )
+        halve = jnp.logical_not(fresh) & active
+        tau = jnp.where(
+            fresh, jnp.ones((), R),
+            jnp.where(
+                halve & (s["bt"] >= max_backtracks - 1),
+                jnp.zeros((), R),
+                jnp.where(halve, s["tau"] / 2, s["tau"]),
+            ),
+        )
+        bt = jnp.where(fresh, 0, jnp.where(halve, s["bt"] + 1, s["bt"]))
+
+        newly_done = commit & (
+            _inf_norm(res_t / gamma_n[:, None] - Atg_t + At_gz_t) <= tol
+        )
+
+        new = dict(
+            x_b=x_b, res_b=res_b, thr=thr, gamma=gamma_n, dstate=dstate,
+            d=d, tau=tau, bt=bt,
+            z_sol=jnp.where(ccol, z_t, s["z_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = jax.lax.while_loop(cond, body, s)
+    return s["z_sol"], s["k"], s["done"]
+
+
+def batched_panocplus(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
+                      beta=0.5, max_backtracks=20, directions=None,
+                      adaptive=False, minimum_gamma=1e-7,
+                      init_backtracks=None, trip_cap=None):
+    """Flattened batched PANOCplus — fixed or adaptive stepsize (see
+    ``_flat_panocplus_run``).
+
+    ``gamma``: scalar or (B,) *initial* stepsizes (for adaptive, the
+    search start).  Returns ``(z, iters, done)`` matching the
+    single-problem ``PANOCplus(...)`` driver per lane.
+    """
+    from ..accel.lbfgs import LBFGS
+
+    if directions is None:
+        directions = LBFGS(5)
+    x0 = jnp.asarray(x0)
+    R = jnp.zeros((), x0.dtype).real.dtype
+    B = x0.shape[0]
+    estimate_gamma = gamma is None
+    if estimate_gamma:
+        adaptive = True  # factory semantics: estimated gamma forces adaptive
+        gamma = jnp.zeros((B,), R)  # placeholder; computed in-graph
+    else:
+        gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
+    if init_backtracks is None:
+        if (adaptive and not estimate_gamma
+                and not isinstance(gamma, jax.core.Tracer)):
+            import numpy as _np
+
+            hi = float(_np.max(_np.asarray(gamma)))
+            init_backtracks = max(
+                2, int(_np.ceil(_np.log2(max(hi, minimum_gamma)
+                                         / minimum_gamma))) + 2
+            )
+        else:
+            init_backtracks = 40
+    return _flat_panocplus_run(
+        f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
+        int(max_backtracks), directions, bool(adaptive),
+        jnp.asarray(minimum_gamma, R), estimate_gamma=estimate_gamma,
+        init_backtracks=int(init_backtracks), trip_cap=trip_cap,
+    )
+
+
 def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                     beta=0.5, max_backtracks=20, directions=None,
                     trip_cap=None):

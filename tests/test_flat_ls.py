@@ -236,6 +236,108 @@ def test_flat_zerofpr_nonquad_zip():
             )
 
 
+@pytest.mark.parametrize("max_backtracks", [20, 2])
+def test_flat_panocplus_fixed(max_backtracks):
+    from proxtpu.parallel import batched_panocplus
+
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panocplus(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=1000,
+        max_backtracks=max_backtracks,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOCplus(tol=TOL, maxit=1000, max_backtracks=max_backtracks)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i]),
+    )
+
+
+def test_flat_panocplus_adaptive():
+    """Adaptive PANOCplus: per-lane gamma shrinking interleaved in the
+    flat search, vs the single adaptive driver (gamma0 = alpha/Lf)."""
+    from proxtpu.parallel import batched_panocplus
+
+    A, b, lam, Lf = problems(8)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    # start the search from a deliberately too-large gamma so shrinks fire
+    gamma0 = 20.0 / Lf
+    z, iters, done = batched_panocplus(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=1000,
+        adaptive=True,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOCplus(tol=TOL, maxit=1000, adaptive=True)
+    assert_parity(
+        z, iters, solver,
+        lambda s, i: s(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), gamma=float(gamma0[i])),
+    )
+
+
+def test_flat_panocplus_estimated_gamma():
+    """gamma=None: per-lane finite-difference Lipschitz estimate in-graph
+    (the factory's lower_bound_smoothness_constant cold start).
+
+    The estimate itself differs from the single driver's by batched-vs-
+    single matmul roundoff, and a 1-ulp gamma difference can flip a
+    knife-edge trial and fork the trajectory (see the non-quad tests), so
+    the contract here is physical: every lane converges, counts are close,
+    solutions agree at tol-amplified accuracy."""
+    from proxtpu.parallel import batched_panocplus
+
+    A, b, lam, Lf = problems(9)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panocplus(
+        f, Aop, g, jnp.zeros((B, N)), None, TOL, maxit=1000,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOCplus(tol=TOL, maxit=1000)
+    for i in range(B):
+        x, it = solver(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]))
+        assert abs(it - int(iters[i])) <= max(5, it // 10)
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-4
+        )
+
+
+def test_batched_algorithm_routes_panocplus_to_flat():
+    from proxtpu.algorithms.panocplus import make_panocplus_iteration
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    A, b, lam, Lf = problems(10)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    # both the fixed and the adaptive spelling match
+    for kw in (dict(Lf=Lf), dict(adaptive=True, Lf=Lf), {}):
+        kwargs = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=A, **kw)
+        assert match_flat_linesearch(
+            make_panocplus_iteration, kwargs, tol=TOL, maxit=500
+        ) is not None, kw
+
+    kwargs = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=A, Lf=Lf)
+    auto = BatchedAlgorithm(make_panocplus_iteration, maxit=500, tol=TOL)
+    zs, its, done = auto(**kwargs)
+    generic = BatchedAlgorithm(
+        make_panocplus_iteration, maxit=500, tol=TOL, use_kernels=False
+    )
+    zg, itg, dg = generic(**{**kwargs, "A": jax.vmap(MatrixOperator)(A)})
+    assert bool(jnp.all(done)) and bool(jnp.all(dg))
+    np.testing.assert_array_equal(np.asarray(its), np.asarray(itg))
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(zg), rtol=0, atol=1e-8
+    )
+
+
 def drls_c_per_lane(gamma, Lf, beta=0.5, lam=1.0):
     """Per-lane factory default c = beta * drls_C(convex f, no mf)."""
     from proxtpu.algorithms.drls import drls_C

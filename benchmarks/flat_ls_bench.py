@@ -23,9 +23,15 @@ import jax.numpy as jnp
 
 import proxtpu  # noqa: F401
 from proxtpu.algorithms.panoc import make_panoc_iteration
+from proxtpu.algorithms.panocplus import make_panocplus_iteration
+from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
 from proxtpu.ops.linops import MatrixOperator
 from proxtpu.parallel import BatchedAlgorithm
-from proxtpu.parallel.flat_ls import batched_panoc
+from proxtpu.parallel.flat_ls import (
+    batched_panoc,
+    batched_panocplus,
+    batched_zerofpr,
+)
 from proxtpu.prox import NormL1, SqrDistance
 
 M, N = 200, 400
@@ -78,6 +84,10 @@ def timed(tag, run, reps):
 
 def main():
     quick = "--quick" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     reps = 3 if quick else 5
     As, bs, lams, Lfs = gen_problems(BATCH)
     f = jax.vmap(SqrDistance)(jnp.asarray(bs))
@@ -85,32 +95,52 @@ def main():
     A = jnp.asarray(As)
     x0 = jnp.zeros((BATCH, N), DTYPE)
     Lf = jnp.asarray(Lfs)
+    Aop_stacked = jax.vmap(MatrixOperator)(A)
+    Aop = MatrixOperator(A)
 
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
 
-    def run_flat():
-        return batched_panoc(
-            f, MatrixOperator(A), g, x0, 0.95 / Lf, TOL, maxit=MAXIT
+    FLAT = {
+        "panoc": lambda: batched_panoc(
+            f, Aop, g, x0, 0.95 / Lf, TOL, maxit=MAXIT),
+        "zerofpr": lambda: batched_zerofpr(
+            f, Aop, g, x0, 0.95 / Lf, TOL, maxit=MAXIT),
+        "panocplus": lambda: batched_panocplus(
+            f, Aop, g, x0, 0.95 / Lf, TOL, maxit=MAXIT),
+        "panocplus_adaptive": lambda: batched_panocplus(
+            f, Aop, g, x0, 10.0 / Lf, TOL, maxit=MAXIT, adaptive=True),
+    }
+    GENERIC = {
+        "panoc": make_panoc_iteration,
+        "zerofpr": make_zerofpr_iteration,
+        "panocplus": make_panocplus_iteration,
+    }
+
+    for name, run_flat in FLAT.items():
+        if only and name not in only:
+            continue
+        z_flat, rec_flat = timed(f"flat_{name}", run_flat, reps)
+        gname = name.replace("_adaptive", "")
+        generic = BatchedAlgorithm(
+            GENERIC[gname], maxit=MAXIT, tol=TOL, use_kernels=False
         )
+        gkw = dict(x0=x0, f=f, g=g, A=Aop_stacked)
+        if name.endswith("_adaptive"):
+            gkw.update(adaptive=True, gamma=10.0 / Lf)
+        else:
+            gkw.update(Lf=Lf)
 
-    z_flat, rec_flat = timed("flat_panoc", run_flat, reps)
+        def run_generic(gkw=gkw, generic=generic):
+            return generic(**gkw)
 
-    generic = BatchedAlgorithm(
-        make_panoc_iteration, maxit=MAXIT, tol=TOL, use_kernels=False
-    )
-    Aop = jax.vmap(MatrixOperator)(A)
-
-    def run_generic():
-        return generic(x0=x0, f=f, g=g, A=Aop, Lf=Lf)
-
-    z_gen, rec_gen = timed("bounded_lowering_panoc", run_generic, reps)
-
-    gap = float(np.max(np.abs(z_flat - z_gen)))
-    print(json.dumps({
-        "max_abs_solution_gap": gap,
-        "speedup_flat_vs_bounded": rec_flat["problems_per_sec"]
-        / rec_gen["problems_per_sec"],
-    }), flush=True)
+        z_gen, rec_gen = timed(f"bounded_lowering_{name}", run_generic, reps)
+        gap = float(np.max(np.abs(z_flat - z_gen)))
+        print(json.dumps({
+            "solver": name,
+            "max_abs_solution_gap": gap,
+            "speedup_flat_vs_bounded": rec_flat["problems_per_sec"]
+            / rec_gen["problems_per_sec"],
+        }), flush=True)
 
 
 if __name__ == "__main__":

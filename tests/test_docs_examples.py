@@ -55,3 +55,24 @@ def test_getting_started_block_runs():
     code = _first_code_block(os.path.join(DOCS, "getting_started.md"))
     ns = {}
     exec(compile(code, "getting_started.md", "exec"), ns)
+
+
+def test_sparse_linear_regression_example():
+    """The diabetes walkthrough (``sparse_linear_regression.jl:1-80``
+    ported): converges, selects a sparse feature subset including the
+    canonical bmi/s5/bp trio, and generalizes (test MSE ~1370, well under
+    the ~2900 variance of the test labels)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "sparse_linear_regression.py")
+    spec = importlib.util.spec_from_file_location("slr_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+
+    assert out["iterations"] < 10_000
+    names = {name for name, _ in out["selected"]}
+    assert {"bmi", "s5", "bp"} <= names
+    assert 1 <= len(names) <= 9  # a strict subset: L1 actually sparsifies
+    assert out["test_mse"] < 1600.0

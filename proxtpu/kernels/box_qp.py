@@ -30,7 +30,7 @@ from .common import auto_lanes
 
 def _pg_step_kernel(
     Q_ref, qrow_ref, xrow_ref, xcol_ref, gamma_ref, lo_ref, hi_ref,
-    zrow_ref, res_ref,
+    done_ref, zrow_ref, res_ref,
 ):
     L = Q_ref.shape[0]
     for l in range(L):
@@ -40,23 +40,32 @@ def _pg_step_kernel(
         gamma = gamma_ref[l, 0, 0]
         lo = lo_ref[l, 0, 0]
         hi = hi_ref[l, 0, 0]
+        dm = done_ref[l, 0, 0]  # 1.0 = frozen lane
 
         # symmetric matvec as a sublane reduction: needs x in the *column*
         # orientation, produces grad directly in the row orientation the
         # update needs — no in-kernel transpose/relayout
         grad_row = jnp.sum(Q * x_col, axis=0, keepdims=True) + qrow_ref[l]
         z_row = jnp.clip(x_row - gamma * grad_row, lo, hi)
-        zrow_ref[l] = z_row
-        res_ref[l] = jnp.max(jnp.abs(x_row - z_row)).reshape(1, 1)
+        # frozen lanes pass their iterate through (the freeze select that
+        # used to run as an XLA where per trip)
+        zrow_ref[l] = dm * x_row + (1 - dm) * z_row
+        res_ref[l] = ((1 - dm) * jnp.max(jnp.abs(x_row - z_row))).reshape(
+            1, 1
+        )
 
 
 @partial(jax.jit, static_argnames=("interpret", "lanes"))
-def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
+def fused_pg_box_step(Q, q, x, gamma, lo, hi, done_mask=None,
+                      interpret=False, lanes=None):
     """One fused projected-gradient step for a batch of box QPs.
 
     Args:
       Q: (B, n, n) symmetric matrices.  q: (B, n).  x: (B, n).
       gamma, lo, hi: (B,) per-lane scalars.
+      done_mask: optional (B,) float; 1.0-marked lanes pass x through
+        unchanged (in-kernel freeze) and report res 0.  The row-oriented
+        x input is aliased to the z output (in-place carry update).
 
     Returns: z (B, n), res_inf (B,).
     """
@@ -67,6 +76,8 @@ def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
     xrow = x.reshape(B, 1, n)
     xcol = x.reshape(B, n, 1)
     s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+    if done_mask is None:
+        done_mask = jnp.zeros((B,), dtype)
 
     vspec = lambda shape: pl.BlockSpec(
         (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -76,20 +87,21 @@ def fused_pg_box_step(Q, q, x, gamma, lo, hi, interpret=False, lanes=None):
         grid=(B // L,),
         in_specs=[
             vspec((n, n)), vspec((1, n)), vspec((1, n)), vspec((n, 1)),
-            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
         ],
         out_specs=[vspec((1, n)), vspec((1, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), dtype),
             jax.ShapeDtypeStruct((B, 1, 1), dtype),
         ],
+        input_output_aliases={2: 0},
         cost_estimate=pl.CostEstimate(
             flops=4 * B * n * n,
             bytes_accessed=B * n * n * dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Q, qrow, xrow, xcol, s3(gamma), s3(lo), s3(hi))
+    )(Q, qrow, xrow, xcol, s3(gamma), s3(lo), s3(hi), s3(done_mask))
     return zrow.reshape(B, n), res.reshape(B)
 
 
@@ -130,14 +142,28 @@ def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
         k, x, done, iters = c
         return (k < maxit) & jnp.logical_not(jnp.all(done))
 
-    def body(c):
-        k, x, done, iters = c
-        z, res = step_fn(Q, q, x, gamma, lo_v, hi_v)
-        newly_done = res / gamma <= tol
-        x = jnp.where(done[:, None], x, z)
-        k = k + 1
-        iters = jnp.where(done, iters, k)
-        return (k, x, done | newly_done, iters)
+    if use_kernel:
+        # in-kernel freeze + aliased carry: the body is one pallas_call
+        # plus (B,)-scalar bookkeeping
+        def body(c):
+            k, x, done, iters = c
+            z, res = fused_pg_box_step(
+                Q, q, x, gamma, lo_v, hi_v, done.astype(dtype),
+                interpret=interpret,
+            )
+            newly_done = res / gamma <= tol
+            k = k + 1
+            iters = jnp.where(done, iters, k)
+            return (k, z, done | newly_done, iters)
+    else:
+        def body(c):
+            k, x, done, iters = c
+            z, res = step_fn(Q, q, x, gamma, lo_v, hi_v)
+            newly_done = res / gamma <= tol
+            x = jnp.where(done[:, None], x, z)
+            k = k + 1
+            iters = jnp.where(done, iters, k)
+            return (k, x, done | newly_done, iters)
 
     k, x, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
@@ -158,7 +184,7 @@ def _pg_k_steps_kernel(K):
     matters, so the trade is net-positive."""
 
     def kernel(Q_ref, qrow_ref, qcol_ref, xrow_ref, xcol_ref, gamma_ref,
-               lo_ref, hi_ref, xo_ref, res_ref):
+               lo_ref, hi_ref, done_ref, xo_ref, res_ref):
         L = Q_ref.shape[0]
         for l in range(L):
             Q = Q_ref[l]
@@ -167,6 +193,7 @@ def _pg_k_steps_kernel(K):
             gamma = gamma_ref[l, 0, 0]
             lo = lo_ref[l, 0, 0]
             hi = hi_ref[l, 0, 0]
+            dm = done_ref[l, 0, 0]
 
             def step(_, carry):
                 x_row, x_col, _res = carry
@@ -179,21 +206,23 @@ def _pg_k_steps_kernel(K):
                 res = jnp.max(jnp.abs(x_row - z_row))
                 return (z_row, z_col, res)
 
+            x_in = xrow_ref[l]
             x_row, x_col, res = jax.lax.fori_loop(
                 0, K, step,
-                (xrow_ref[l], xcol_ref[l], jnp.zeros((), Q.dtype)),
+                (x_in, xcol_ref[l], jnp.zeros((), Q.dtype)),
             )
-            xo_ref[l] = x_row
-            res_ref[l] = res.reshape(1, 1)
+            xo_ref[l] = dm * x_in + (1 - dm) * x_row
+            res_ref[l] = ((1 - dm) * res).reshape(1, 1)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
-def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, K=8, interpret=False,
-                         lanes=None):
+def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, done_mask=None, K=8,
+                         interpret=False, lanes=None):
     """Run K fused projected-gradient steps for the whole batch in one
-    kernel call; returns (x, res_inf_of_last_step)."""
+    kernel call; returns (x, res_inf_of_last_step).  Frozen lanes
+    (``done_mask`` 1.0) pass through; x (row view) aliases the output."""
     B, n, _ = Q.shape
     dtype = Q.dtype
     L = auto_lanes(B, n * n * dtype.itemsize, lanes)
@@ -202,6 +231,8 @@ def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, K=8, interpret=False,
     xrow = x.reshape(B, 1, n)
     xcol = x.reshape(B, n, 1)
     s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+    if done_mask is None:
+        done_mask = jnp.zeros((B,), dtype)
 
     vspec = lambda shape: pl.BlockSpec(
         (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -212,19 +243,21 @@ def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, K=8, interpret=False,
         in_specs=[
             vspec((n, n)), vspec((1, n)), vspec((n, 1)), vspec((1, n)),
             vspec((n, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+            vspec((1, 1)),
         ],
         out_specs=[vspec((1, n)), vspec((1, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), dtype),
             jax.ShapeDtypeStruct((B, 1, 1), dtype),
         ],
+        input_output_aliases={3: 0},
         cost_estimate=pl.CostEstimate(
             flops=8 * K * B * n * n,
             bytes_accessed=B * n * n * dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Q, qrow, qcol, xrow, xcol, s3(gamma), s3(lo), s3(hi))
+    )(Q, qrow, qcol, xrow, xcol, s3(gamma), s3(lo), s3(hi), s3(done_mask))
     return xo.reshape(B, n), res.reshape(B)
 
 
@@ -252,13 +285,13 @@ def solve_box_qp_batch_blocked(Q, q, lo, hi, Lip, tol, maxit=10_000,
 
     def body(c):
         k, x, done, iters = c
-        xn, res = fused_pg_box_k_steps(Q, q, x, gamma, lo_v, hi_v, K=K,
+        xn, res = fused_pg_box_k_steps(Q, q, x, gamma, lo_v, hi_v,
+                                       done.astype(dtype), K=K,
                                        interpret=interpret)
-        x = jnp.where(done[:, None], x, xn)
         k = k + K
         newly_done = res / gamma <= tol
         iters = jnp.where(done, iters, k)
-        return (k, x, done | newly_done, iters)
+        return (k, xn, done | newly_done, iters)
 
     k, x, done, iters = jax.lax.while_loop(cond, body, init)
     # K-blocked loop can overshoot maxit by up to K-1; clamp the report to

@@ -117,6 +117,84 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
     return z.reshape(B, N), res.reshape(B)
 
 
+def _fista_full_step_kernel(A_ref, b_ref, x_ref, zp_ref, beta_ref,
+                            gamma_ref, thr_ref, done_ref,
+                            xo_ref, zo_ref, res_ref):
+    """One complete FISTA iteration per lane: FB step + prox + Nesterov
+    extrapolation + converged-lane freeze + residual read-out, all in VMEM.
+
+    The per-trip XLA epilogue of :func:`solve_lasso_batch` (two (B, N)
+    where-selects, the extrapolation axpys, and two fresh HBM buffers per
+    trip) moves in here; with ``input_output_aliases`` the x/z_prev carry
+    buffers are updated in place, so the loop body is ONE aliased
+    pallas_call plus (B,)-scalar bookkeeping."""
+    L = A_ref.shape[0]
+    for l in range(L):
+        A = A_ref[l]            # (M, N)
+        x = x_ref[l]            # (1, N)
+        zp = zp_ref[l]          # (1, N)
+        bcol = b_ref[l]         # (M, 1)
+        beta = beta_ref[l, 0, 0]
+        gamma = gamma_ref[l, 0, 0]
+        thr = thr_ref[l, 0, 0]
+        dm = done_ref[l, 0, 0]  # 1.0 = frozen lane
+
+        r = jnp.sum(A * x, axis=1, keepdims=True) - bcol
+        grad = jnp.sum(A * r, axis=0, keepdims=True)
+        y = x - gamma * grad
+        z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr, 0.0)
+        x_new = z + beta * (z - zp)
+        # frozen lanes keep their carry (the aliased buffers must still be
+        # written: the VMEM output window is distinct from the input's)
+        xo_ref[l] = dm * x + (1 - dm) * x_new
+        zo_ref[l] = dm * zp + (1 - dm) * z
+        res_ref[l] = ((1 - dm) * jnp.max(jnp.abs(x - z))).reshape(1, 1)
+
+
+@partial(jax.jit, static_argnames=("interpret", "lanes"))
+def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
+                          interpret=False, lanes=None):
+    """One full FISTA iteration for the batch (see the kernel docstring).
+
+    ``x`` and ``z_prev`` are aliased to the outputs — inside a
+    ``while_loop`` the carry is updated in place with no fresh HBM
+    allocation.  Returns (x_new, z_new, res_inf) with res_inf = 0 for
+    frozen lanes."""
+    B, M, N = A.shape
+    dtype = A.dtype
+    L = auto_lanes(B, M * N * dtype.itemsize, lanes)
+    b3 = b.reshape(B, M, 1)
+    x3 = x.reshape(B, 1, N)
+    zp3 = z_prev.reshape(B, 1, N)
+    s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+    vspec = lambda shape: pl.BlockSpec(
+        (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    xo, zo, res = pl.pallas_call(
+        _fista_full_step_kernel,
+        grid=(B // L,),
+        in_specs=[
+            vspec((M, N)), vspec((M, 1)), vspec((1, N)), vspec((1, N)),
+            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+        ],
+        out_specs=[vspec((1, N)), vspec((1, N)), vspec((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, N), dtype),
+            jax.ShapeDtypeStruct((B, 1, N), dtype),
+            jax.ShapeDtypeStruct((B, 1, 1), dtype),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * M * N,
+            bytes_accessed=B * M * N * dtype.itemsize + 5 * B * N * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, b3, x3, zp3, s3(beta), s3(gamma), s3(thr), s3(done_mask))
+    return xo.reshape(B, N), zo.reshape(B, N), res.reshape(B)
+
+
 def reference_fb_prox_grad(A, b, x, gamma, thr):
     """Pure-XLA reference of the fused step (same math, two A reads)."""
     r = jnp.einsum("bmn,bn->bm", A, x,
@@ -174,22 +252,40 @@ def solve_lasso_batch(
         k, done = c[0], c[4]
         return (k < maxit) & jnp.logical_not(jnp.all(done))
 
-    def body(c):
-        k, x, z_prev, t, done, iters = c
-        # FB step at the current extrapolated point, then Nesterov
-        # extrapolation with the simple t-sequence
-        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-        z, res = step_fn(A, b, x, gamma, thr)
-        beta = ((t - 1) / t_new)[:, None]
-        x_new = z + beta * (z - z_prev)
-        newly_done = res / gamma <= tol
-        keep = done[:, None]
-        x_new = jnp.where(keep, x, x_new)
-        z = jnp.where(keep, z_prev, z)
-        k = k + 1
-        iters = jnp.where(done, iters, k)
-        return (k, x_new, z, jnp.where(done, t, t_new), done | newly_done,
-                iters)
+    if use_kernel:
+        # full-iteration kernel: FB step + extrapolation + freeze live in
+        # VMEM, the x/z_prev carries are aliased in place, and the body's
+        # XLA epilogue is (B,)-scalar bookkeeping only
+        def body(c):
+            k, x, z_prev, t, done, iters = c
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            beta = (t - 1) / t_new
+            x_new, z, res = fused_fista_full_step(
+                A, b, x, z_prev, beta, gamma, thr, done.astype(dtype),
+                interpret=interpret,
+            )
+            newly_done = res / gamma <= tol
+            k = k + 1
+            iters = jnp.where(done, iters, k)
+            return (k, x_new, z, jnp.where(done, t, t_new),
+                    done | newly_done, iters)
+    else:
+        def body(c):
+            k, x, z_prev, t, done, iters = c
+            # FB step at the current extrapolated point, then Nesterov
+            # extrapolation with the simple t-sequence
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            z, res = step_fn(A, b, x, gamma, thr)
+            beta = ((t - 1) / t_new)[:, None]
+            x_new = z + beta * (z - z_prev)
+            newly_done = res / gamma <= tol
+            keep = done[:, None]
+            x_new = jnp.where(keep, x, x_new)
+            z = jnp.where(keep, z_prev, z)
+            k = k + 1
+            iters = jnp.where(done, iters, k)
+            return (k, x_new, z, jnp.where(done, t, t_new),
+                    done | newly_done, iters)
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
@@ -204,13 +300,14 @@ def _fb_k_steps_kernel(K):
     convergence read-out happens every K steps)."""
 
     def kernel(A_ref, b_ref, x_ref, zp_ref, t_ref, gamma_ref, thr_ref,
-               xo_ref, zo_ref, to_ref, res_ref):
+               done_ref, xo_ref, zo_ref, to_ref, res_ref):
         L = A_ref.shape[0]
         for l in range(L):
             A = A_ref[l]          # (M, N) stays in VMEM for all K steps
             bcol = b_ref[l]       # (M, 1)
             gamma = gamma_ref[l, 0, 0]
             thr = thr_ref[l, 0, 0]
+            dm = done_ref[l, 0, 0]  # 1.0 = frozen lane
 
             def step(_, carry):
                 x, zprev, t, _res = carry
@@ -224,28 +321,32 @@ def _fb_k_steps_kernel(K):
                 x_new = z + beta * (z - zprev)
                 return (x_new, z, t_new, res)
 
+            x_in, zp_in, t_in = x_ref[l], zp_ref[l], t_ref[l, 0, 0]
             x, z, t, res = jax.lax.fori_loop(
-                0, K, step,
-                (x_ref[l], zp_ref[l], t_ref[l, 0, 0],
-                 jnp.zeros((), A.dtype)),
+                0, K, step, (x_in, zp_in, t_in, jnp.zeros((), A.dtype)),
             )
-            xo_ref[l] = x
-            zo_ref[l] = z
-            to_ref[l] = t.reshape(1, 1)
+            # frozen lanes keep their carry (the freeze select that used
+            # to run as XLA where-ops per trip)
+            xo_ref[l] = dm * x_in + (1 - dm) * x
+            zo_ref[l] = dm * zp_in + (1 - dm) * z
+            to_ref[l] = (dm * t_in + (1 - dm) * t).reshape(1, 1)
             # stopping read-out: |x - z| of the last inner step — the same
             # criterion the one-step solver checks every iteration
-            res_ref[l] = res.reshape(1, 1)
+            res_ref[l] = ((1 - dm) * res).reshape(1, 1)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
-def fused_fista_k_steps(A, b, x, z_prev, t, gamma, thr, K=8, interpret=False,
-                        lanes=None):
+def fused_fista_k_steps(A, b, x, z_prev, t, gamma, thr, done_mask=None,
+                        K=8, interpret=False, lanes=None):
     """Run K fused FISTA iterations for the whole batch in one kernel call.
 
-    Returns (x, z, t, res_inf) where res_inf is ||x - z||_inf of the
-    final inner step (the FB-family stopping quantity).
+    ``done_mask`` (B,) float 1.0-marks frozen lanes (their carry passes
+    through unchanged, in-kernel); the x/z_prev/t carries are aliased to
+    the outputs so a while-loop updates them in place.  Returns
+    (x, z, t, res_inf) where res_inf is ||x - z||_inf of the final inner
+    step (the FB-family stopping quantity; 0 for frozen lanes).
     """
     B, M, N = A.shape
     dtype = A.dtype
@@ -254,6 +355,8 @@ def fused_fista_k_steps(A, b, x, z_prev, t, gamma, thr, K=8, interpret=False,
     x3 = x.reshape(B, 1, N)
     zp3 = z_prev.reshape(B, 1, N)
     s3 = lambda v: v.reshape(B, 1, 1).astype(dtype)
+    if done_mask is None:
+        done_mask = jnp.zeros((B,), dtype)
 
     vspec = lambda shape: pl.BlockSpec(
         (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -263,7 +366,7 @@ def fused_fista_k_steps(A, b, x, z_prev, t, gamma, thr, K=8, interpret=False,
         grid=(B // L,),
         in_specs=[
             vspec((M, N)), vspec((M, 1)), vspec((1, N)), vspec((1, N)),
-            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
         ],
         out_specs=[vspec((1, N)), vspec((1, N)), vspec((1, 1)),
                    vspec((1, 1))],
@@ -273,13 +376,14 @@ def fused_fista_k_steps(A, b, x, z_prev, t, gamma, thr, K=8, interpret=False,
             jax.ShapeDtypeStruct((B, 1, 1), dtype),
             jax.ShapeDtypeStruct((B, 1, 1), dtype),
         ],
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         cost_estimate=pl.CostEstimate(
             flops=4 * K * B * M * N,
             bytes_accessed=B * M * N * dtype.itemsize,
             transcendentals=K * B,
         ),
         interpret=interpret,
-    )(A, b3, x3, zp3, s3(t), s3(gamma), s3(thr))
+    )(A, b3, x3, zp3, s3(t), s3(gamma), s3(thr), s3(done_mask))
     return (xo.reshape(B, N), zo.reshape(B, N), to.reshape(B),
             res.reshape(B))
 
@@ -322,17 +426,13 @@ def solve_lasso_batch_blocked(
     def body(c):
         k, x, z_prev, t, done, iters = c
         xn, zn, tn, res = fused_fista_k_steps(
-            A, b, x, z_prev, t, gamma, thr, K=K, interpret=interpret,
-            lanes=lanes,
+            A, b, x, z_prev, t, gamma, thr, done.astype(dtype), K=K,
+            interpret=interpret, lanes=lanes,
         )
-        keep = done[:, None]
-        x = jnp.where(keep, x, xn)
-        z_prev = jnp.where(keep, z_prev, zn)
-        t = jnp.where(done, t, tn)
         k = k + K
         newly_done = res / gamma <= tol
         iters = jnp.where(done, iters, k)
-        return (k, x, z_prev, t, done | newly_done, iters)
+        return (k, xn, zn, tn, done | newly_done, iters)
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
     # The loop advances K iterations at a time from k=1, so unconverged lanes

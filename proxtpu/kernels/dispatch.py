@@ -297,6 +297,112 @@ def _match_flat_drls(kwargs, *, tol, maxit):
     )
 
 
+def match_tv_solver(factory, kwargs, *, tol, maxit, stop=None,
+                    solution=None, iter_block=8, interpret=None):
+    """Route batched TV denoising via Chambolle-Pock to the fused kernel
+    solver (:func:`proxtpu.kernels.tv.solve_tv_batch`), or ``None``.
+
+    Recognized shape: ``make_chambolle_pock_iteration`` (or plain AFBA /
+    Vu-Condat with ``theta=2``, ``f``/``l`` at their CP defaults — the
+    degenerate case of ``/root/reference/src/algorithms/primal_dual.jl:157-158``)
+    with ``g = SqrDistance(b)`` over stacked (B, H, W) images,
+    ``h = NormL21(lam, axis=0)``, ``L = Grad2DOperator((H, W))``, zero
+    ``x0``/``y0``, relaxation ``lam = 1`` and default or explicitly-uniform
+    stepsizes.  Matching is conservative — anything else falls back to the
+    generic vmapped driver.
+
+    The fast path returns the same ``(xbar, ybar)`` solution structure and
+    stopping rule as the generic driver; per-lane iteration counts are an
+    upper bound with up to ``iter_block - 1`` sampling slack (see module
+    docstring).
+    """
+    if stop is not None or solution is not None:
+        return None
+    name = getattr(factory, "__name__", "")
+    is_cp = name == "make_chambolle_pock_iteration"
+    if not is_cp:
+        if name not in ("make_afba_iteration", "make_vu_condat_iteration"):
+            return None
+        # plain AFBA must reduce to the CP configuration
+        from ..prox.base import IndZero, Zero
+
+        theta = kwargs.get("theta", 1.0)
+        if name == "make_afba_iteration":
+            try:
+                if float(theta) != 2.0:
+                    return None
+            except (TypeError, ValueError):
+                return None
+        f, l = kwargs.get("f"), kwargs.get("l")
+        if f is not None and not isinstance(f, Zero):
+            return None
+        if l is not None and not isinstance(l, IndZero):
+            return None
+    for k in ("beta_f", "beta_l"):
+        v = kwargs.get(k)
+        if v is not None and float(v) != 0.0:
+            return None
+    relax = kwargs.get("lam", 1.0)
+    try:
+        if float(relax) != 1.0:
+            return None
+    except (TypeError, ValueError):
+        return None
+
+    from ..ops.linops import Grad2DOperator
+    from ..prox.functions import NormL21, SqrDistance
+
+    g, h, L = kwargs.get("g"), kwargs.get("h"), kwargs.get("L")
+    if not isinstance(g, SqrDistance) or not isinstance(h, NormL21):
+        return None
+    if not isinstance(L, Grad2DOperator):
+        return None
+    if int(getattr(h, "axis", 0)) != 0:
+        return None
+    b = jnp.asarray(g.b)
+    if b.ndim != 3:
+        return None
+    B, H, W = b.shape
+    if tuple(L.shape) != (H, W):
+        return None
+    x0, y0 = kwargs.get("x0"), kwargs.get("y0")
+    if x0 is None or y0 is None:
+        return None
+    if jnp.shape(x0) != (B, H, W) or jnp.shape(y0) != (B, 2, H, W):
+        return None
+    if not (_concrete_all_zero(x0) and _concrete_all_zero(y0)):
+        return None
+
+    lam = h.lam
+    if jnp.ndim(lam) not in (0, 1):
+        return None
+    if jnp.ndim(lam) == 1 and jnp.shape(lam) != (B,):
+        return None
+
+    gamma = kwargs.get("gamma")
+    gamma1 = kwargs.get("gamma1")
+    gamma2 = kwargs.get("gamma2")
+    if gamma is not None:
+        try:
+            gamma1, gamma2 = gamma
+        except (TypeError, ValueError):
+            return None
+    for gv in (gamma1, gamma2):
+        if gv is not None and jnp.shape(gv) not in ((), (B,)):
+            return None
+
+    from .tv import solve_tv_batch
+
+    on_tpu = _is_default_backend_tpu() if interpret is None else True
+    use_kernel = bool(on_tpu)
+
+    return lambda: solve_tv_batch(
+        b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
+        gamma2=gamma2, use_kernel=use_kernel,
+        interpret=bool(interpret), return_dual=True,
+    )
+
+
 def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                         solution=None, iter_block=8, interpret=None):
     """Return ``run() -> (xs, iters, done)`` for a kernel-dispatchable

@@ -245,7 +245,7 @@ def _uniform_concrete(v):
 
 def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                    gamma2=None, use_kernel=True, interpret=False,
-                   lanes=None):
+                   lanes=None, return_dual=False):
     """Batched TV denoising by iteration-blocked fused Chambolle-Pock.
 
     Matches the generic vmapped AFBA/CP driver's trajectory and stopping
@@ -259,7 +259,10 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     so non-uniform per-image parameters are routed to the pure-XLA step
     (same math, per-lane broadcasting) automatically.
 
-    Returns (x, iters, done).
+    Returns ``(x, iters, done)``, or ``((x, y), iters, done)`` with the
+    (B, 2, H, W) dual field when ``return_dual=True`` — the same solution
+    structure as the generic AFBA driver's ``default_solution``
+    (``(xbar, ybar)``), which the kernel dispatch layer requires.
     """
     if use_kernel and not all(
         _uniform_concrete(v) for v in (lam, gamma1, gamma2)
@@ -268,18 +271,18 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     return _solve_tv_batch_impl(
         b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
         gamma2=gamma2, use_kernel=use_kernel, interpret=interpret,
-        lanes=lanes,
+        lanes=lanes, return_dual=return_dual,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
-                     "lanes"),
+                     "lanes", "return_dual"),
 )
 def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                          gamma2=None, use_kernel=True, interpret=False,
-                         lanes=None):
+                         lanes=None, return_dual=False):
     B, H, W = b.shape
     dtype = b.dtype
     g1d, g2d = default_tv_stepsizes(dtype)
@@ -333,4 +336,6 @@ def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
 
     k, x, yx, yy, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.minimum(jnp.where(done, iters, k), maxit)
+    if return_dual:
+        return (x, jnp.stack([yx, yy], axis=1)), iters, done
     return x, iters, done

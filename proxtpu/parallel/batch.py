@@ -306,14 +306,23 @@ class BatchedAlgorithm:
                 match_flat_adaptive,
                 match_flat_linesearch,
                 match_kernel_solver,
+                match_tv_solver,
             )
 
+            interp = True if self.use_kernels == "interpret" else None
             run = match_kernel_solver(
                 self.iteration_factory, merged,
                 tol=self.tol, maxit=self.maxit,
                 stop=self.stop, solution=self.solution,
-                interpret=True if self.use_kernels == "interpret" else None,
+                interpret=interp,
             )
+            if run is None:
+                run = match_tv_solver(
+                    self.iteration_factory, merged,
+                    tol=self.tol, maxit=self.maxit,
+                    stop=self.stop, solution=self.solution,
+                    interpret=interp,
+                )
             if run is None:
                 run = match_flat_adaptive(
                     self.iteration_factory, merged,

@@ -39,12 +39,18 @@ def gen_problems(batch, m, n, dtype=np.float32, seed=0):
     return As, bs, lams, Lfs
 
 
-def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat):
+def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
+                        path="generic"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.parallel import (
+        sharded_solve_lasso_batch,
+        sharded_solve_lasso_batch_blocked,
+        sharded_solve_lasso_multirhs,
+    )
 
     mesh = Mesh(np.asarray(jax.devices()[:d]), ("dp",))
     B = batch_per_device * d
@@ -58,10 +64,39 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat):
     lam = shard(lams, P("dp"))
     Lf = shard(Lfs, P("dp"))
 
+    # off-TPU the Pallas kernel paths run in interpret mode (plumbing
+    # validation); on a real slice they run the compiled kernels
+    interp = jax.default_backend() != "tpu"
+
+    if path == "kernel":
+        def run():
+            return sharded_solve_lasso_batch(
+                A, b, lam, Lf, tol, mesh=mesh, maxit=maxit,
+                use_kernel=True, interpret=interp,
+            )
+    elif path == "blocked":
+        def run():
+            return sharded_solve_lasso_batch_blocked(
+                A, b, lam, Lf, tol, mesh=mesh, maxit=maxit, iter_block=8,
+                interpret=interp,
+            )
+    elif path == "multirhs":
+        # shared-A formulation: one design matrix, B right-hand sides
+        A1 = jnp.asarray(As[0])
+        Lf1 = float(np.linalg.norm(As[0], 2) ** 2)
+
+        def run():
+            return sharded_solve_lasso_multirhs(
+                A1, b, lam, Lf1, tol, mesh=mesh, maxit=maxit, iter_block=8,
+            )
+    else:
+        def run():
+            return solve_lasso_batch(
+                A, b, lam, Lf, tol, maxit=maxit, use_kernel=False
+            )
+
     def solve():
-        xs, iters, done = solve_lasso_batch(
-            A, b, lam, Lf, tol, maxit=maxit, use_kernel=False
-        )
+        xs, iters, done = run()
         # host-transfer fence (block_until_ready is unreliable on axon)
         return np.asarray(xs), np.asarray(iters), np.asarray(done)
 
@@ -76,6 +111,7 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat):
     return {
         "devices": d,
         "batch": B,
+        "path": path,
         "problems_per_sec": round(B / dt, 2),
         "mean_iters": round(float(iters.mean()), 1),
         "converged": bool(done.all()),
@@ -93,6 +129,13 @@ def main():
     ap.add_argument("--maxit", type=int, default=2000)
     ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--path", default="generic",
+        choices=["generic", "kernel", "blocked", "multirhs"],
+        help="solver formulation: generic pure-XLA batched step, fused "
+             "one-step kernel, K-blocked VMEM-resident kernel, or the "
+             "shared-A MXU multirhs solve — all dp-sharded via shard_map",
+    )
     args = ap.parse_args()
 
     if args.platform == "cpu" and "XLA_FLAGS" not in os.environ:
@@ -114,7 +157,7 @@ def main():
             continue
         rec = run_at_device_count(
             d, args.batch_per_device, args.m, args.n, args.tol, args.maxit,
-            args.repeat,
+            args.repeat, path=args.path,
         )
         if base is None:
             base = rec["problems_per_sec"] / rec["devices"]

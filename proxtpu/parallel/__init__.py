@@ -42,6 +42,13 @@ from .sharded_ops import (
     shard_batch,
     shard_matrix_operator,
 )
+from .sharded_kernels import (
+    default_dp_mesh,
+    sharded_solve_box_qp_batch,
+    sharded_solve_lasso_batch,
+    sharded_solve_lasso_batch_blocked,
+    sharded_solve_lasso_multirhs,
+)
 
 __all__ = [
     "BatchedAlgorithm",
@@ -66,4 +73,9 @@ __all__ = [
     "shard_matrix_operator",
     "global_mesh",
     "initialize_distributed",
+    "default_dp_mesh",
+    "sharded_solve_box_qp_batch",
+    "sharded_solve_lasso_batch",
+    "sharded_solve_lasso_batch_blocked",
+    "sharded_solve_lasso_multirhs",
 ]

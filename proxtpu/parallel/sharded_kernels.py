@@ -1,0 +1,173 @@
+"""Multi-device kernel paths: the fused lasso/box-QP solvers under shard_map.
+
+The fused Pallas solvers (:mod:`proxtpu.kernels.lasso`,
+:mod:`proxtpu.kernels.box_qp`) run one chip's batch; on a pod slice the
+scenario batch is data-parallel over the ``dp`` mesh axis and each device
+should run the SAME fused kernel on its local lanes.  GSPMD cannot partition
+a ``pallas_call`` automatically, so these wrappers place the whole solver
+body (while-loop, kernel calls, convergence bookkeeping) inside
+``jax.shard_map``: every device iterates on its own lanes and stops when
+*its* lanes converge — no per-trip cross-device collective at all, which is
+exactly the right communication structure for scenario batching (lanes are
+independent; the only "collective" is the caller's final gather).
+
+Per-lane semantics are identical to the single-device solvers: the
+while-loop's ``jnp.all(done)`` becomes a *local* all, so a device whose
+lanes finish early stops early instead of spinning until the global slowest
+lane — per-lane iterates, counts and flags are unchanged (pinned by
+``tests/test_sharding.py``).
+
+The reference has no distributed story at all (SURVEY.md §2.6); the scaling
+contract here is BASELINE.json's >= 80% weak-scaling efficiency target.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _mesh_axis_size(mesh, axis):
+    return mesh.shape[axis]
+
+
+def default_dp_mesh(n_devices=None, axis="dp"):
+    """A 1-axis mesh over the first ``n_devices`` (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def sharded_solve_lasso_batch(
+    A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=1000, use_kernel=True,
+    interpret=False,
+):
+    """:func:`proxtpu.kernels.lasso.solve_lasso_batch` data-parallel over
+    ``axis``: A (B, M, N), b (B, M), lam/Lf (B,) sharded on the batch dim,
+    each device solving its own lanes with the fused one-step kernel.
+
+    B must be divisible by the mesh axis size.  Returns (z, iters, done)
+    with the same sharding on the batch dim.
+    """
+    from ..kernels.lasso import solve_lasso_batch
+
+    nd = _mesh_axis_size(mesh, axis)
+    if A.shape[0] % nd:
+        raise ValueError(
+            f"batch {A.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+
+    body = partial(
+        solve_lasso_batch, tol=tol, maxit=maxit, use_kernel=use_kernel,
+        interpret=interpret,
+    )
+    return jax.shard_map(
+        lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        # pallas_call inside shard_map has no varying-mesh-axes annotation;
+        # every out is dp-sharded by construction
+        check_vma=False,
+    )(A, b, lam, Lf)
+
+
+def sharded_solve_lasso_batch_blocked(
+    A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=8,
+    interpret=False,
+):
+    """:func:`proxtpu.kernels.lasso.solve_lasso_batch_blocked` (K-step
+    VMEM-resident kernel) data-parallel over ``axis``."""
+    from ..kernels.lasso import solve_lasso_batch_blocked
+
+    nd = _mesh_axis_size(mesh, axis)
+    if A.shape[0] % nd:
+        raise ValueError(
+            f"batch {A.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+
+    body = partial(
+        solve_lasso_batch_blocked, tol=tol, maxit=maxit,
+        iter_block=iter_block, interpret=interpret,
+    )
+    return jax.shard_map(
+        lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        # pallas_call inside shard_map has no varying-mesh-axes annotation;
+        # every out is dp-sharded by construction
+        check_vma=False,
+    )(A, b, lam, Lf)
+
+
+def sharded_solve_lasso_multirhs(
+    A, Bmat, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=1,
+):
+    """:func:`proxtpu.kernels.lasso.solve_lasso_multirhs` (shared design
+    matrix, MXU matmul formulation) with the RHS batch sharded over
+    ``axis`` and A replicated on every device — each device runs the
+    (B_local, N) @ (N, M) matmuls on its own lanes."""
+    from ..kernels.lasso import solve_lasso_multirhs
+
+    nd = _mesh_axis_size(mesh, axis)
+    if Bmat.shape[0] % nd:
+        raise ValueError(
+            f"batch {Bmat.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+
+    import jax.numpy as jnp
+
+    B = Bmat.shape[0]
+    lam_v = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (B,))
+    Lf_s = jnp.asarray(Lf, A.dtype)
+    body = partial(solve_lasso_multirhs, tol=tol, maxit=maxit,
+                   iter_block=iter_block)
+    return jax.shard_map(
+        lambda A_, B_, l_, L_: body(A_, B_, l_, L_),
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        # pallas_call inside shard_map has no varying-mesh-axes annotation;
+        # every out is dp-sharded by construction
+        check_vma=False,
+    )(A, Bmat, lam_v, Lf_s)
+
+
+def sharded_solve_box_qp_batch(
+    Q, q, lo, hi, Lip, tol, *, mesh, axis="dp", maxit=20_000,
+    use_kernel=True, interpret=False, iter_block=None,
+):
+    """:func:`proxtpu.kernels.box_qp.solve_box_qp_batch` (or its K-blocked
+    variant when ``iter_block`` is given) data-parallel over ``axis``."""
+    from ..kernels.box_qp import solve_box_qp_batch, solve_box_qp_batch_blocked
+
+    nd = _mesh_axis_size(mesh, axis)
+    if Q.shape[0] % nd:
+        raise ValueError(
+            f"batch {Q.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+
+    if iter_block is not None:
+        body = lambda Q_, q_, L_: solve_box_qp_batch_blocked(
+            Q_, q_, lo, hi, L_, tol, maxit=maxit, iter_block=iter_block,
+            interpret=interpret,
+        )
+    else:
+        body = lambda Q_, q_, L_: solve_box_qp_batch(
+            Q_, q_, lo, hi, L_, tol, maxit=maxit, use_kernel=use_kernel,
+            interpret=interpret,
+        )
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        # pallas_call inside shard_map has no varying-mesh-axes annotation;
+        # every out is dp-sharded by construction
+        check_vma=False,
+    )(Q, q, Lip)

@@ -168,3 +168,121 @@ def test_global_mesh_runs_sharded_solve():
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Kernel paths under shard_map (proxtpu/parallel/sharded_kernels.py): each
+# device runs the fused solver on its local lanes — per-lane parity with the
+# single-device solvers, data actually distributed.
+# ---------------------------------------------------------------------------
+
+
+def _lasso_batch(B=16, M=16, N=24, seed=3, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray((rng.standard_normal((B, M, N)) / np.sqrt(M)).astype(dtype))
+    b = jnp.asarray(rng.standard_normal((B, M)).astype(dtype))
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", np.asarray(A),
+                                      np.asarray(b))), axis=1).astype(dtype))
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(B)], A.dtype)
+    return A, b, lam, Lf
+
+
+@pytest.fixture(scope="module")
+def dp_mesh():
+    from proxtpu.parallel import default_dp_mesh
+
+    return default_dp_mesh(8, axis="dp")
+
+
+def test_sharded_lasso_kernel_parity(dp_mesh):
+    """The fused one-step kernel path under shard_map (interpret mode on the
+    CPU mesh) matches the single-device solver lane for lane, with lanes
+    actually distributed over the 8 devices."""
+    from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.parallel import sharded_solve_lasso_batch
+
+    A, b, lam, Lf = _lasso_batch()
+    tol = 1e-5
+    z1, it1, d1 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                    use_kernel=False)
+    z8, it8, d8 = sharded_solve_lasso_batch(
+        A, b, lam, Lf, tol, mesh=dp_mesh, maxit=3000, use_kernel=True,
+        interpret=True,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    assert len(z8.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), atol=1e-5)
+    assert int(np.max(np.abs(np.asarray(it8) - np.asarray(it1)))) <= 1
+
+
+def test_sharded_lasso_blocked_parity(dp_mesh):
+    from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.parallel import sharded_solve_lasso_batch_blocked
+
+    A, b, lam, Lf = _lasso_batch(seed=4)
+    tol = 1e-5
+    z1, it1, d1 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                    use_kernel=False)
+    z8, it8, d8 = sharded_solve_lasso_batch_blocked(
+        A, b, lam, Lf, tol, mesh=dp_mesh, maxit=3000, iter_block=4,
+        interpret=True,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    # blocked lanes keep iterating to the next sample boundary, so they are
+    # *more* converged than the one-step stop — compare at a few tol
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), atol=5e-4)
+    # blocked counts are an upper bound (non-monotone residual: a lane may
+    # pass several sample boundaries before a sampled residual clears tol)
+    assert np.all(np.asarray(it8) >= np.asarray(it1) - 1)
+
+
+def test_sharded_multirhs_parity(dp_mesh):
+    from proxtpu.kernels.lasso import solve_lasso_multirhs
+    from proxtpu.parallel import sharded_solve_lasso_multirhs
+
+    rng = np.random.default_rng(5)
+    M, N, B = 24, 32, 16
+    A = jnp.asarray((rng.standard_normal((M, N)) / np.sqrt(M)).astype(np.float32))
+    Bmat = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(
+        np.abs(np.asarray(Bmat) @ np.asarray(A)), axis=1).astype(np.float32))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    tol = 1e-5
+    z1, it1, d1 = solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=3000)
+    z8, it8, d8 = sharded_solve_lasso_multirhs(
+        A, Bmat, lam, Lf, tol, mesh=dp_mesh, maxit=3000,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(it8), np.asarray(it1))
+
+
+def test_sharded_box_qp_parity(dp_mesh):
+    from proxtpu.kernels.box_qp import solve_box_qp_batch
+    from proxtpu.parallel import sharded_solve_box_qp_batch
+
+    rng = np.random.default_rng(6)
+    n, B = 16, 16
+    Qs, qs, Lips = [], [], []
+    for _ in range(B):
+        U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        ev = 2 * rng.random(n) - 1
+        Q0 = (U @ np.diag(ev) @ U.T).astype(np.float32)
+        Qs.append(0.5 * (Q0 + Q0.T))
+        qs.append(rng.standard_normal(n).astype(np.float32))
+        Lips.append(np.max(np.abs(ev)))
+    Q = jnp.asarray(np.stack(Qs))
+    q = jnp.asarray(np.stack(qs))
+    Lip = jnp.asarray(np.array(Lips, np.float32))
+    tol = 1e-4
+    x1, it1, d1 = solve_box_qp_batch(Q, q, -1.0, 1.0, Lip, tol,
+                                     maxit=20_000, use_kernel=False)
+    x8, it8, d8 = sharded_solve_box_qp_batch(
+        Q, q, -1.0, 1.0, Lip, tol, mesh=dp_mesh, maxit=20_000,
+        use_kernel=True, interpret=True,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(it8) - np.asarray(it1)))) <= 1

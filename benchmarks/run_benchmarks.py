@@ -94,28 +94,23 @@ def solver_configs(A, b, lam, dtype):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--repeat", type=int, default=5)
-    ap.add_argument("--workloads", default="all")
-    ap.add_argument("--platform", default=None,
-                    help="cpu|tpu (the JAX_PLATFORMS env var is overridden "
-                    "by the axon plugin; this sets jax.config instead)")
-    args = ap.parse_args()
-    dtype = np.dtype(args.dtype)
+def run_matrix(dtype, repeat=5, platform=None, workloads="all", quiet=False):
+    """Run the (workload x solver) matrix; returns the list of result rows
+    (and prints each as a JSON line unless ``quiet``).  Shared by the CLI
+    below and the CI regression judge (``benchmarks/regression_check.py``)."""
+    dtype = np.dtype(dtype)
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if dtype == np.float64:
         jax.config.update("jax_enable_x64", True)
     platform = jax.devices()[0].platform
 
     results = []
     for wname, fname in WORKLOADS:
-        if args.workloads != "all" and wname not in args.workloads:
+        if workloads != "all" and wname not in workloads:
             continue
         A, b, lam = load_workload(fname)
         configs = solver_configs(A, b, lam, dtype)
@@ -123,7 +118,7 @@ def main():
             sol, it = solver(**kwargs)  # compile + warm
             _ = np.asarray(jax.tree.leaves(sol)[0])
             times = []
-            for _i in range(args.repeat):
+            for _i in range(repeat):
                 t0 = time.perf_counter()
                 sol, it = solver(**kwargs)
                 _ = np.asarray(jax.tree.leaves(sol)[0])
@@ -139,8 +134,22 @@ def main():
                 "dtype": str(dtype),
             }
             results.append(rec)
-            print(json.dumps(rec), flush=True)
+            if not quiet:
+                print(json.dumps(rec), flush=True)
     return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--workloads", default="all")
+    ap.add_argument("--platform", default=None,
+                    help="cpu|tpu (the JAX_PLATFORMS env var is overridden "
+                    "by the axon plugin; this sets jax.config instead)")
+    args = ap.parse_args()
+    return run_matrix(args.dtype, repeat=args.repeat, platform=args.platform,
+                      workloads=args.workloads)
 
 
 if __name__ == "__main__":

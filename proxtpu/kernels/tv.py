@@ -223,6 +223,66 @@ def reference_cp_step(b, x, yx, yy, g1, g2, lam):
     return xbar, ybx, yby, res
 
 
+def _diff_matrix(n, dtype):
+    """The (n, n) forward-difference matrix D: D[i,i] = -1, D[i,i+1] = +1
+    for i < n-1, last row zero (the Neumann boundary is the zero row, so
+    ``D @ U`` IS the masked forward difference and ``D^T`` the masked
+    backward-difference adjoint — no separate boundary masks needed)."""
+    d = np.zeros((n, n), np.float64)
+    i = np.arange(n - 1)
+    d[i, i] = -1.0
+    d[i, i + 1] = 1.0
+    return jnp.asarray(d, dtype)
+
+
+def mxu_cp_step(b, x, yx, yy, g1, g2, lam, Dh=None, Dw=None):
+    """One batched CP iteration with the gradient stencil as MXU matmuls.
+
+    Identical math to :func:`reference_cp_step`, but the four roll+mask
+    stencils are expressed as batched contractions against bidiagonal
+    difference matrices:  ``grad = (Dh @ U, U @ Dw^T)`` and
+    ``L^T y = Dh^T @ Yx + Yy @ Dw`` — an MXU-shaped rewrite of the
+    elementwise chain (VERDICT r2 weak #5: does routing the stencil to the
+    systolic array beat the ~20 GB/s elementwise-chain per-trip floor?).
+    Contractions run at the library matmul precision
+    (:func:`proxtpu.utils.precision.get_matmul_precision`) so bf16 MXU
+    passes cannot stall the fixed point.
+    """
+    from ..utils.precision import get_matmul_precision
+
+    H, W = b.shape[1], b.shape[2]
+    dtype = b.dtype
+    if Dh is None:
+        Dh = _diff_matrix(H, dtype)
+    if Dw is None:
+        Dw = _diff_matrix(W, dtype)
+    prec = get_matmul_precision()
+    g1b = g1[:, None, None]
+    g2b = g2[:, None, None]
+    lamb = lam[:, None, None]
+
+    # L^T y = Dh^T @ Yx + Yy @ Dw  (div = -L^T y)
+    lty = jnp.einsum("kh,bkw->bhw", Dh, yx, precision=prec) + jnp.einsum(
+        "bhk,kw->bhw", yy, Dw, precision=prec
+    )
+    t = x - g1b * lty
+    xbar = (t + g1b * b) / (1 + g1b)
+    mid = 2 * xbar - x
+    gx = jnp.einsum("hk,bkw->bhw", Dh, mid, precision=prec)
+    gy = jnp.einsum("bhk,wk->bhw", mid, Dw, precision=prec)
+    vx = yx + g2b * gx
+    vy = yy + g2b * gy
+    nrm = jnp.sqrt(vx * vx + vy * vy)
+    scale = jnp.where(nrm > lamb, lamb / jnp.maximum(nrm, 1e-30), 1.0)
+    ybx = vx * scale
+    yby = vy * scale
+    res = jnp.max(jnp.abs(xbar - x), axis=(1, 2)) + jnp.maximum(
+        jnp.max(jnp.abs(ybx - yx), axis=(1, 2)),
+        jnp.max(jnp.abs(yby - yy), axis=(1, 2)),
+    )
+    return xbar, ybx, yby, res
+
+
 def default_tv_stepsizes(dtype=jnp.float32):
     """The AFBA theta=2 default stepsizes for L = Grad2D (||L|| = sqrt(8),
     beta_f = beta_l = 0): g1 = 1/||L||, g2 = 0.99/||L||
@@ -245,7 +305,7 @@ def _uniform_concrete(v):
 
 def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                    gamma2=None, use_kernel=True, interpret=False,
-                   lanes=None, return_dual=False):
+                   lanes=None, return_dual=False, formulation="roll"):
     """Batched TV denoising by iteration-blocked fused Chambolle-Pock.
 
     Matches the generic vmapped AFBA/CP driver's trajectory and stopping
@@ -259,6 +319,11 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     so non-uniform per-image parameters are routed to the pure-XLA step
     (same math, per-lane broadcasting) automatically.
 
+    ``formulation`` selects the pure-XLA step used when ``use_kernel`` is
+    False (or forced off by non-uniform params): ``"roll"`` (shift+mask
+    stencils) or ``"mxu"`` (:func:`mxu_cp_step`, bidiagonal-matmul
+    stencils).
+
     Returns ``(x, iters, done)``, or ``((x, y), iters, done)`` with the
     (B, 2, H, W) dual field when ``return_dual=True`` — the same solution
     structure as the generic AFBA driver's ``default_solution``
@@ -271,18 +336,18 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     return _solve_tv_batch_impl(
         b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
         gamma2=gamma2, use_kernel=use_kernel, interpret=interpret,
-        lanes=lanes, return_dual=return_dual,
+        lanes=lanes, return_dual=return_dual, formulation=formulation,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
-                     "lanes", "return_dual"),
+                     "lanes", "return_dual", "formulation"),
 )
 def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                          gamma2=None, use_kernel=True, interpret=False,
-                         lanes=None, return_dual=False):
+                         lanes=None, return_dual=False, formulation="roll"):
     B, H, W = b.shape
     dtype = b.dtype
     g1d, g2d = default_tv_stepsizes(dtype)
@@ -300,10 +365,21 @@ def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
             b_, x, yx, yy, g1, g2, lam_v, K=K
         )
     else:
+        if formulation == "mxu":
+            Dh = _diff_matrix(H, dtype)
+            Dw = _diff_matrix(W, dtype)
+            one_step = lambda b_, x, yx, yy: mxu_cp_step(
+                b_, x, yx, yy, g1, g2, lam_v, Dh=Dh, Dw=Dw
+            )
+        else:
+            one_step = lambda b_, x, yx, yy: reference_cp_step(
+                b_, x, yx, yy, g1, g2, lam_v
+            )
+
         def step_fn(b_, x, yx, yy, K):
             def one(_, c):
                 x, yx, yy, _ = c
-                return reference_cp_step(b_, x, yx, yy, g1, g2, lam_v)
+                return one_step(b_, x, yx, yy)
 
             return jax.lax.fori_loop(
                 0, K, one,

@@ -12,6 +12,15 @@ bench:
 bench-matrix:
     python benchmarks/run_benchmarks.py --dtype float64 --platform cpu
 
+# judge a fresh matrix run against the committed baseline (CI red on
+# iteration-count changes or >1.5x median-time regressions)
+bench-regression:
+    python benchmarks/regression_check.py
+
+# re-record the committed baseline after an intentional behavior change
+bench-regression-update:
+    python benchmarks/regression_check.py --update
+
 bench-paths:
     python benchmarks/driver_gap.py --repeat 5
 

@@ -73,7 +73,7 @@ def _cp_body(x, yx, yy, b, g1, g2, lam, row_mask, col_mask):
     return xbar, ybx, yby
 
 
-def _cp_k_steps_kernel(K, H, W):
+def _cp_k_steps_kernel(K, H, W, per_lane_lam=False):
     def kernel(b_ref, x_ref, yx_ref, yy_ref, g1_ref, g2_ref, lam_ref,
                xo_ref, yxo_ref, yyo_ref, xpo_ref, yxpo_ref, yypo_ref):
         R, C = b_ref.shape
@@ -83,9 +83,12 @@ def _cp_k_steps_kernel(K, H, W):
         row_mask = ((row_ix % H) < H - 1).astype(dtype)
         col_mask = ((col_ix % W) < W - 1).astype(dtype)
         b = b_ref[...]
-        g1 = g1_ref[0, 0]     # shared stepsizes/weight (scalars)
+        g1 = g1_ref[0, 0]     # shared stepsizes (scalars)
         g2 = g2_ref[0, 0]
-        lam = lam_ref[0, 0]
+        # lam enters only the (elementwise) dual-ball projection, so a
+        # per-image weight is just a packed (R, C) plane instead of a
+        # scalar — per-lane regularization sweeps keep kernel speed
+        lam = lam_ref[...] if per_lane_lam else lam_ref[0, 0]
 
         # carry (state, previous state): the stopping residual is the last
         # transition's fixed-point step |new - old|; both states are
@@ -133,16 +136,20 @@ def _unpack(m, B, H, W, P):
     return m.reshape(G, H, P, W).transpose(0, 2, 1, 3).reshape(B, H, W)
 
 
-@partial(jax.jit, static_argnames=("K", "interpret", "lanes"))
+@partial(jax.jit, static_argnames=("K", "interpret", "lanes",
+                                   "per_lane_lam"))
 def fused_cp_k_steps(b, x, yx, yy, g1, g2, lam, K=8, interpret=False,
-                     lanes=None):
+                     lanes=None, per_lane_lam=False):
     """Run K fused CP iterations for a batch of images in one kernel call.
 
     Args:
       b: (B, H, W) noisy images.  x: (B, H, W) primal iterates.
-      yx, yy: (B, H, W) dual-field components.  g1, g2, lam: scalars (or
+      yx, yy: (B, H, W) dual-field components.  g1, g2: scalars (or
         uniform (B,) vectors — the kernel uses lane 0; per-image stepsizes
-        take the pure-XLA path in :func:`solve_tv_batch`).
+        take the pure-XLA path in :func:`solve_tv_batch`).  lam: scalar,
+        uniform (B,), or genuinely per-image (B,) — per-image weights are
+        packed into an (R, C) plane and applied elementwise in the dual
+        projection, so regularization sweeps stay on the kernel path.
 
     Layout: the whole batch is packed into one 2-D tile mosaic — P=128//W
     images side by side along the 128 lanes, image row-strips stacked along
@@ -171,10 +178,21 @@ def fused_cp_k_steps(b, x, yx, yy, g1, g2, lam, K=8, interpret=False,
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     shape2 = jax.ShapeDtypeStruct((G * H, P * W), dtype)
 
+    if per_lane_lam:
+        lam_in = _pack(
+            jnp.broadcast_to(
+                jnp.asarray(lam, dtype)[:, None, None], (B, H, W)
+            ), P,
+        )
+        lam_spec = mspec
+    else:
+        lam_in = s2(lam)
+        lam_spec = sspec
+
     outs = pl.pallas_call(
-        _cp_k_steps_kernel(K, H, W),
+        _cp_k_steps_kernel(K, H, W, per_lane_lam=per_lane_lam),
         grid=((G * H) // Rb,),
-        in_specs=[mspec, mspec, mspec, mspec, sspec, sspec, sspec],
+        in_specs=[mspec, mspec, mspec, mspec, sspec, sspec, lam_spec],
         out_specs=[mspec] * 6,
         out_shape=[shape2] * 6,
         cost_estimate=pl.CostEstimate(
@@ -184,7 +202,7 @@ def fused_cp_k_steps(b, x, yx, yy, g1, g2, lam, K=8, interpret=False,
         ),
         interpret=interpret,
     )(_pack(b, P), _pack(x, P), _pack(yx, P), _pack(yy, P),
-      s2(g1), s2(g2), s2(lam))
+      s2(g1), s2(g2), lam_in)
     xo, yxo, yyo, xp, yxp, yyp = (_unpack(m, B, H, W, P) for m in outs)
     res = jnp.max(jnp.abs(xo - xp), axis=(1, 2)) + jnp.maximum(
         jnp.max(jnp.abs(yxo - yxp), axis=(1, 2)),
@@ -315,12 +333,14 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     count includes the init step — iteration 1 — exactly like the driver.
 
     ``lam``/``gamma1``/``gamma2`` may be scalars or per-image (B,) vectors.
-    The fused kernel shares one parameter set across the packed lane mosaic,
-    so non-uniform per-image parameters are routed to the pure-XLA step
+    Per-image ``lam`` (a regularization sweep) stays on the fused kernel —
+    the weight enters only the elementwise dual projection, so it rides
+    along as a packed (R, C) plane.  Non-uniform *stepsizes* would change
+    the packed update itself, so they are routed to the pure-XLA step
     (same math, per-lane broadcasting) automatically.
 
     ``formulation`` selects the pure-XLA step used when ``use_kernel`` is
-    False (or forced off by non-uniform params): ``"roll"`` (shift+mask
+    False (or forced off by non-uniform stepsizes): ``"roll"`` (shift+mask
     stencils) or ``"mxu"`` (:func:`mxu_cp_step`, bidiagonal-matmul
     stencils).
 
@@ -329,25 +349,28 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     structure as the generic AFBA driver's ``default_solution``
     (``(xbar, ybar)``), which the kernel dispatch layer requires.
     """
+    per_lane_lam = not _uniform_concrete(lam)
     if use_kernel and not all(
-        _uniform_concrete(v) for v in (lam, gamma1, gamma2)
+        _uniform_concrete(v) for v in (gamma1, gamma2)
     ):
         use_kernel = False
     return _solve_tv_batch_impl(
         b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
         gamma2=gamma2, use_kernel=use_kernel, interpret=interpret,
         lanes=lanes, return_dual=return_dual, formulation=formulation,
+        per_lane_lam=per_lane_lam,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("maxit", "iter_block", "use_kernel", "interpret",
-                     "lanes", "return_dual", "formulation"),
+                     "lanes", "return_dual", "formulation", "per_lane_lam"),
 )
 def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                          gamma2=None, use_kernel=True, interpret=False,
-                         lanes=None, return_dual=False, formulation="roll"):
+                         lanes=None, return_dual=False, formulation="roll",
+                         per_lane_lam=False):
     B, H, W = b.shape
     dtype = b.dtype
     g1d, g2d = default_tv_stepsizes(dtype)
@@ -360,7 +383,8 @@ def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
     lam_v = jnp.broadcast_to(jnp.asarray(lam, dtype), (B,))
 
     if use_kernel:
-        kstep = partial(fused_cp_k_steps, interpret=interpret, lanes=lanes)
+        kstep = partial(fused_cp_k_steps, interpret=interpret, lanes=lanes,
+                        per_lane_lam=per_lane_lam)
         step_fn = lambda b_, x, yx, yy, K: kstep(
             b_, x, yx, yy, g1, g2, lam_v, K=K
         )

@@ -127,15 +127,17 @@ def test_kernel_matches_reference_step(noisy):
     np.testing.assert_allclose(np.asarray(xk3), np.asarray(xs), atol=2e-5)
 
 
-def test_per_lane_params_route_off_kernel(noisy):
+def test_per_lane_lam_stays_on_kernel(noisy):
     """A per-image lam sweep (the natural batched use) must denoise each
-    image with ITS OWN lam: the packed kernel shares one parameter set, so
-    non-uniform (B,) params are auto-routed to the pure-XLA step.  Lane i of
-    the sweep must equal a uniform solve at lam_i (regression for the
-    lane-0-parameters bug)."""
+    image with ITS OWN lam — and it keeps kernel speed: lam enters only
+    the elementwise dual projection, so the kernel takes it as a packed
+    (R, C) plane (regression for the lane-0-parameters bug, upgraded from
+    the r2 route-off-kernel fix).  Lane i of the sweep must equal a
+    uniform solve at lam_i."""
     lams = jnp.asarray([0.05, 0.12, 0.2, 0.3], jnp.float32)
     xs, _, d = solve_tv_batch(
         noisy, lams, TOL, maxit=5000, iter_block=8, use_kernel=True,
+        interpret=True,  # the real Pallas kernel, emulated on CPU
     )
     assert bool(jnp.all(d))
     for i in [0, 3]:
@@ -147,11 +149,29 @@ def test_per_lane_params_route_off_kernel(noisy):
         np.testing.assert_allclose(
             np.asarray(xs[i]), np.asarray(xi[i]), atol=1e-5
         )
-    # uniform (B,) params still take the requested kernel path unchanged
+    # uniform (B,) params still take the scalar-parameter kernel unchanged
     from proxtpu.kernels.tv import _uniform_concrete
 
     assert _uniform_concrete(jnp.full((B,), 0.1))
     assert not _uniform_concrete(lams)
+
+
+def test_per_lane_stepsizes_route_off_kernel(noisy):
+    """Non-uniform per-image STEPSIZES change the packed update itself, so
+    they still fall back to the pure-XLA step — with each lane's own
+    gamma, matching per-lane uniform solves."""
+    g1s = jnp.asarray([0.3, 0.35, 0.3, 0.25], jnp.float32)
+    xs, _, d = solve_tv_batch(
+        noisy, LAM, TOL, maxit=5000, gamma1=g1s, use_kernel=True,
+    )
+    assert bool(jnp.all(d))
+    xi, _, di = solve_tv_batch(
+        noisy, LAM, TOL, maxit=5000, gamma1=float(g1s[1]), use_kernel=False,
+    )
+    assert bool(jnp.all(di))
+    np.testing.assert_allclose(
+        np.asarray(xs[1]), np.asarray(xi[1]), atol=1e-5
+    )
 
 
 @pytest.mark.parametrize("use_kernel", [True, False])

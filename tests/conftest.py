@@ -17,3 +17,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# Keep the process under vm.max_map_count (default 65530, same on GitHub
+# runners): every jitted XLA executable holds mmap'd JIT-code regions, and
+# the full suite compiles thousands of programs — left alone, the process
+# crosses the map limit after ~165 tests and the NEXT compile dies inside
+# LLVM (SIGSEGV/SIGABRT in backend_compile_and_load; measured 58k+ maps
+# right before the crash).  Dropping the compilation caches at module
+# boundaries unmaps dead executables; cross-module cache reuse is near zero
+# (each module compiles its own shapes), so this costs seconds, not minutes.
+# ---------------------------------------------------------------------------
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_code_maps():
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -141,7 +141,7 @@ def full_step_solver(A, b, lam, Lf, tol, maxit=ITERS, alias=True):
     )
 
     def full_step(x, z_prev, beta, dm):
-        xo, zo, res = pl.pallas_call(
+        xo, zo, res, _rs = pl.pallas_call(
             _fista_full_step_kernel,
             grid=(Bn // L,),
             in_specs=[
@@ -149,10 +149,12 @@ def full_step_solver(A, b, lam, Lf, tol, maxit=ITERS, alias=True):
                 vspec((1, Nn)), vspec((1, 1)), vspec((1, 1)),
                 vspec((1, 1)), vspec((1, 1)),
             ],
-            out_specs=[vspec((1, Nn)), vspec((1, Nn)), vspec((1, 1))],
+            out_specs=[vspec((1, Nn)), vspec((1, Nn)), vspec((1, 1)),
+                       vspec((1, 1))],
             out_shape=[
                 jax.ShapeDtypeStruct((Bn, 1, Nn), dtype),
                 jax.ShapeDtypeStruct((Bn, 1, Nn), dtype),
+                jax.ShapeDtypeStruct((Bn, 1, 1), dtype),
                 jax.ShapeDtypeStruct((Bn, 1, 1), dtype),
             ],
             input_output_aliases={2: 0, 3: 1} if alias else {},

@@ -44,7 +44,7 @@ def default_dp_mesh(n_devices=None, axis="dp"):
 
 def sharded_solve_lasso_batch(
     A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=1000, use_kernel=True,
-    interpret=False,
+    interpret=False, restart=False,
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_batch` data-parallel over
     ``axis``: A (B, M, N), b (B, M), lam/Lf (B,) sharded on the batch dim,
@@ -63,7 +63,7 @@ def sharded_solve_lasso_batch(
 
     body = partial(
         solve_lasso_batch, tol=tol, maxit=maxit, use_kernel=use_kernel,
-        interpret=interpret,
+        interpret=interpret, restart=restart,
     )
     return jax.shard_map(
         lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
@@ -78,7 +78,7 @@ def sharded_solve_lasso_batch(
 
 def sharded_solve_lasso_batch_blocked(
     A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=8,
-    interpret=False,
+    interpret=False, restart=False,
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_batch_blocked` (K-step
     VMEM-resident kernel) data-parallel over ``axis``."""
@@ -92,7 +92,7 @@ def sharded_solve_lasso_batch_blocked(
 
     body = partial(
         solve_lasso_batch_blocked, tol=tol, maxit=maxit,
-        iter_block=iter_block, interpret=interpret,
+        iter_block=iter_block, interpret=interpret, restart=restart,
     )
     return jax.shard_map(
         lambda A_, b_, l_, L_: body(A_, b_, l_, L_),

@@ -264,3 +264,126 @@ def test_blocked_box_qp_matches(qp=None):
     assert bool(jnp.all(d1)) and bool(jnp.all(d2))
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=2e-3)
     assert np.all(np.asarray(i2) >= np.asarray(i1) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision two-stage solver (bf16-A warm start + f32 polish)
+# ---------------------------------------------------------------------------
+
+
+def _fb_residual(A, b, lam, Lf, z):
+    gamma = 1.0 / Lf
+    _, res = reference_fb_prox_grad(A, b, z, gamma, gamma * lam)
+    return res / gamma
+
+
+@pytest.mark.parametrize("use_kernel,interpret",
+                         [(False, False), (True, True)],
+                         ids=["xla", "kernel-interp"])
+def test_mixed_solver_reaches_f32_tolerance(data, use_kernel, interpret):
+    """The bf16 warm start must not degrade final quality: the mixed
+    solution satisfies the SAME f32 stopping criterion as the plain
+    solver and matches a tight-tolerance ground truth at least as well."""
+    from proxtpu.kernels.lasso import solve_lasso_batch_mixed
+
+    A, b, lam, Lf = data
+    tol = 1e-5
+    z_m, it_m, d_m = solve_lasso_batch_mixed(
+        A, b, lam, Lf, tol, maxit=3000, use_kernel=use_kernel,
+        interpret=interpret,
+    )
+    assert bool(jnp.all(d_m))
+    # recomputed f32 fixed-point residual clears tol (ulp slack)
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_m))) <= 1.1 * tol
+    z_gt, _, d_gt = solve_lasso_batch(A, b, lam, Lf, 1e-7, maxit=30000,
+                                      use_kernel=False)
+    z_ref, _, _ = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                    use_kernel=False)
+    assert bool(jnp.all(d_gt))
+    err_m = float(jnp.max(jnp.abs(z_m - z_gt)))
+    err_ref = float(jnp.max(jnp.abs(z_ref - z_gt)))
+    assert err_m <= 3 * max(err_ref, 1e-6), (err_m, err_ref)
+
+
+def test_mixed_solver_stage2_fewer_f32_iterations(data):
+    """The point of the warm start: the f32 stage runs a fraction of the
+    plain solver's iterations (total counts include the cheap bf16 steps)."""
+    from proxtpu.kernels.lasso import solve_lasso_batch_mixed
+
+    A, b, lam, Lf = data
+    tol = 1e-5
+    _, it_plain, _ = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                       use_kernel=False)
+    _, it_mixed, d = solve_lasso_batch_mixed(A, b, lam, Lf, tol, maxit=3000,
+                                             use_kernel=False)
+    assert bool(jnp.all(d))
+    # total (bf16 + f32) count stays below the plain count: the warm lanes
+    # re-enter stage 2 close to the solution
+    assert float(jnp.mean(np.asarray(it_mixed))) < float(
+        jnp.mean(np.asarray(it_plain))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-lane adaptive restart (O'Donoghue & Candes gradient scheme)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_converges_faster_same_quality(data):
+    """restart=True must reach the SAME stopping criterion in strictly
+    fewer iterations (the gradient scheme kills FISTA's momentum
+    oscillation once the active set settles)."""
+    A, b, lam, Lf = data
+    tol = 1e-5
+    z_p, it_p, d_p = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                       use_kernel=False)
+    z_r, it_r, d_r = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                       use_kernel=False, restart=True)
+    assert bool(jnp.all(d_p)) and bool(jnp.all(d_r))
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_r))) <= 1.1 * tol
+    assert float(jnp.mean(np.asarray(it_r))) < float(
+        jnp.mean(np.asarray(it_p))
+    )
+
+
+def test_restart_kernel_matches_xla_counts(data):
+    """The in-kernel restart signal (a VMEM (1,N) reduction) reproduces
+    the XLA path's decisions; knife-edge trials (rs summed in a different
+    f32 order) may flip single iterations."""
+    A, b, lam, Lf = data
+    tol = 1e-5
+    _, it_x, d_x = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                     use_kernel=False, restart=True)
+    z_k, it_k, d_k = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                       use_kernel=True, interpret=True,
+                                       restart=True)
+    assert bool(jnp.all(d_x)) and bool(jnp.all(d_k))
+    assert int(np.max(np.abs(np.asarray(it_x) - np.asarray(it_k)))) <= 1
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_k))) <= 1.1 * tol
+
+
+def test_restart_blocked_and_multirhs(data):
+    """The blocked kernel restarts inside its inner loop; the shared-A
+    MXU solver restarts per lane — both satisfy the residual criterion."""
+    from proxtpu.kernels.lasso import (
+        solve_lasso_batch_blocked, solve_lasso_multirhs,
+    )
+
+    A, b, lam, Lf = data
+    tol = 1e-5
+    z_b, it_b, d_b = solve_lasso_batch_blocked(
+        A, b, lam, Lf, tol, maxit=3000, iter_block=4, interpret=True,
+        restart=True,
+    )
+    assert bool(jnp.all(d_b))
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_b))) <= 1.1 * tol
+
+    A1 = A[0]
+    Lf1 = float(np.linalg.norm(np.asarray(A1), 2) ** 2)
+    z_m, it_m, d_m = solve_lasso_multirhs(A1, b, lam, Lf1, tol, maxit=3000,
+                                          restart=True)
+    _, it_p, d_p = solve_lasso_multirhs(A1, b, lam, Lf1, tol, maxit=3000)
+    assert bool(jnp.all(d_m)) and bool(jnp.all(d_p))
+    assert float(jnp.mean(np.asarray(it_m))) < float(
+        jnp.mean(np.asarray(it_p))
+    )

@@ -20,6 +20,7 @@ from . import accel, algorithms, ops, parallel, prox, utils
 from .accel import (
     LBFGS,
     AdaptiveNesterovSequence,
+    AdaptiveRestartSequence,
     AndersonAcceleration,
     Broyden,
     ConstantNesterovSequence,

@@ -4,6 +4,7 @@ from .broyden import Broyden
 from .lbfgs import LBFGS
 from .nesterov import (
     AdaptiveNesterovSequence,
+    AdaptiveRestartSequence,
     ConstantNesterovSequence,
     FixedNesterovSequence,
     NesterovExtrapolation,
@@ -21,6 +22,7 @@ __all__ = [
     "SimpleNesterovSequence",
     "ConstantNesterovSequence",
     "AdaptiveNesterovSequence",
+    "AdaptiveRestartSequence",
     "acceleration_style",
     "QUASI_NEWTON",
     "NESTEROV",

@@ -20,7 +20,7 @@ from ..accel.nesterov import AdaptiveNesterovSequence
 from ..ops.linops import IdentityOperator
 from ..prox.base import Zero, prox, proxclass, value_and_gradient
 from ..utils.fb_tools import backtrack_stepsize, lower_bound_smoothness_constant
-from ..utils.tree import tree_inf_norm, tree_map, tree_sub
+from ..utils.tree import tree_inf_norm, tree_map, tree_sub, tree_vdot_real
 from .common import astree, real_dtype, rscalar
 from .core import IterativeAlgorithm
 
@@ -90,7 +90,17 @@ class FastForwardBackwardIteration:
         else:
             gamma, z = s.gamma, s.z
 
-        beta, seq_state = self.extrapolation.next_coeff(s.seq_state, gamma)
+        if getattr(self.extrapolation, "restart_aware", False):
+            # O'Donoghue-Candès gradient-scheme signal: momentum points
+            # against the gradient mapping -> reset the sequence.  z is
+            # the freshly accepted prox point, s.x the extrapolated point
+            # it came from, s.z_prev the previous prox point.
+            rs = tree_vdot_real(tree_sub(s.x, z), tree_sub(z, s.z_prev))
+            beta, seq_state = self.extrapolation.next_coeff(
+                s.seq_state, gamma, restart=rs
+            )
+        else:
+            beta, seq_state = self.extrapolation.next_coeff(s.seq_state, gamma)
         x = tree_map(lambda zl, zp: zl + beta * (zl - zp), z, s.z_prev)
         z_prev = z
 

@@ -217,3 +217,88 @@ def test_adaptive_matches_fixed():
     for _ in range(20):
         ba, sa = ada.next_coeff(sa, gamma)
         np.testing.assert_allclose(float(ba), expected, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# AdaptiveRestartSequence (O'Donoghue & Candes; TPU-extra, no reference
+# counterpart — the reference pins textbook sequences)
+# ---------------------------------------------------------------------------
+
+
+def _small_lasso(dtype=jnp.float64):
+    A = jnp.array([[1., -2., 3., -4., 5.], [2., -1., 0., -1., 3.],
+                   [-1., 0., 4., -3., 2.], [-1., -1., -1., 1., 3.]], dtype)
+    b = jnp.array([1., 2., 3., 4.], dtype)
+    lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    xstar = jnp.array([-3.877278911564627e-01, 0, 0, 2.174149659863943e-02,
+                       6.168435374149660e-01], dtype)
+    return A, b, lam, Lf, xstar
+
+
+def test_adaptive_restart_fewer_iterations_same_optimum():
+    import proxtpu as pa
+    from proxtpu.prox import NormL1, make_least_squares
+
+    A, b, lam, Lf, xstar = _small_lasso()
+    kw = dict(x0=jnp.zeros(5, A.dtype), f=make_least_squares(A, b),
+              g=NormL1(lam), Lf=Lf)
+    x_p, it_p = pa.FastForwardBackward(tol=1e-6)(**kw)
+    x_r, it_r = pa.FastForwardBackward(
+        tol=1e-6,
+        extrapolation_sequence=pa.AdaptiveRestartSequence(
+            pa.FixedNesterovSequence()),
+    )(**kw)
+    assert float(jnp.max(jnp.abs(x_r - xstar))) <= 1e-5
+    assert int(it_r) < int(it_p)  # 59 vs 142 at this problem
+
+
+def test_adaptive_restart_wraps_any_sequence_and_restarts_state():
+    import proxtpu as pa
+
+    seq = pa.AdaptiveRestartSequence(pa.SimpleNesterovSequence())
+    st = seq.init_state(jnp.zeros(3))
+    beta1, st = seq.next_coeff(st, None, restart=jnp.asarray(-1.0))
+    # k advanced: next beta without restart is nonzero
+    beta2, st = seq.next_coeff(st, None, restart=jnp.asarray(-1.0))
+    assert float(beta2) > 0
+    # positive signal resets to the initial state -> beta back to k=1 value
+    beta3, st = seq.next_coeff(st, None, restart=jnp.asarray(1.0))
+    np.testing.assert_allclose(float(beta3), float(beta1))
+
+
+def test_adaptive_restart_batched_per_lane():
+    """Under the batched driver each lane restarts independently: per-lane
+    counts match the corresponding single solves exactly."""
+    import proxtpu as pa
+    from proxtpu.parallel import batch_problems, batched_run_loop
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+    from proxtpu.prox import NormL1, make_least_squares
+
+    rng = np.random.default_rng(0)
+    problems, singles = [], []
+    seq = pa.AdaptiveRestartSequence(pa.FixedNesterovSequence())
+    for i in range(4):
+        A = jnp.asarray((rng.standard_normal((12, 20)) / np.sqrt(12))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+        lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+        Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+        kw = dict(x0=jnp.zeros(20, jnp.float32),
+                  f=make_least_squares(A, b), g=NormL1(lam), Lf=Lf,
+                  extrapolation_sequence=seq)
+        problems.append(kw)
+        singles.append(
+            pa.FastForwardBackward(tol=1e-5, maxit=3000,
+                                   extrapolation_sequence=seq)(
+                **{k: v for k, v in kw.items()
+                   if k != "extrapolation_sequence"})
+        )
+    iteration = batch_problems(make_fast_forward_backward_iteration,
+                               problems)
+    sols, iters, done = batched_run_loop(iteration, 3000, 1e-5)
+    assert bool(jnp.all(done))
+    for i, (x_i, it_i) in enumerate(singles):
+        assert int(iters[i]) == int(it_i), i
+        np.testing.assert_allclose(np.asarray(sols[i]), np.asarray(x_i),
+                                   atol=1e-6)

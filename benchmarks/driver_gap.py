@@ -163,6 +163,16 @@ def main():
                lambda tol, maxit: solve_lasso_multirhs(
                    A0, b, lam, Lf0, tol, maxit=maxit, iter_block=8), B)
 
+    if "multirhs_k8_restart" in paths:
+        from proxtpu.kernels.lasso import solve_lasso_multirhs
+
+        A0 = jnp.asarray(As[0])
+        Lf0 = float(Lfs[0])
+        record("multirhs_k8_restart",
+               lambda tol, maxit: solve_lasso_multirhs(
+                   A0, b, lam, Lf0, tol, maxit=maxit, iter_block=8,
+                   restart=True), B)
+
     if "kernel" in paths and platform == "tpu":
         record("kernel",
                lambda tol, maxit: solve_lasso_batch(

@@ -508,6 +508,11 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
         amortizes it; convergence is then *sampled* every K iterations
         (counts become upper bounds, same semantics as
         :func:`solve_lasso_batch_blocked`).  K=1 checks every iteration.
+      restart: per-lane O'Donoghue-Candès gradient restart, checked once
+        per ``iter_block`` (on the block's last step) so the restart
+        reduction does not break the fused matmul chain of the other
+        K-1 steps.  With ``iter_block=1`` this is the textbook per-step
+        restart.
 
     Returns (z, iters, done) exactly like :func:`solve_lasso_batch`.
     """
@@ -528,21 +533,28 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
         return Z, jnp.max(jnp.abs(X - Z), axis=1)
 
     def fista_k(x, z_prev, t):
-        def one(_, c):
+        def one(c, check):
             x, z_prev, t, _res = c
             t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             z, res = step_fn(x)
             beta = ((t - 1) / t_new)[:, None]
             x_new = z + beta * (z - z_prev)
-            if restart:
+            if restart and check:
+                # O'Donoghue-Candès gradient signal, evaluated ONLY on the
+                # last step of each K-block: the per-step (B,N) reduction +
+                # select breaks XLA's matmul-epilogue fusion (measured
+                # 5138 -> 4547 p/s at the flagship shape, BASELINE.md),
+                # while the delayed check keeps the fused matmul chain for
+                # the first K-1 steps and still kills a wrong-way momentum
+                # within one block (restart tolerates delayed checks: the
+                # signal stays positive while the momentum overshoots).
                 rs = jnp.sum((x - z) * (z - z_prev), axis=1)
                 t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
             return (x_new, z, t_new, res)
 
-        return jax.lax.fori_loop(
-            0, K, one,
-            (x, z_prev, t, jnp.zeros((B,), dtype)),
-        )
+        c = (x, z_prev, t, jnp.zeros((B,), dtype))
+        c = jax.lax.fori_loop(0, K - 1, lambda _, cc: one(cc, False), c)
+        return one(c, True)
 
     x0 = jnp.zeros((B, N), dtype)
     z0, res0 = step_fn(x0)

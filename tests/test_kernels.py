@@ -387,3 +387,31 @@ def test_restart_blocked_and_multirhs(data):
     assert float(jnp.mean(np.asarray(it_m))) < float(
         jnp.mean(np.asarray(it_p))
     )
+
+
+def test_restart_multirhs_block_boundary(data):
+    """With iter_block>1 the restart signal is checked once per block (the
+    per-step reduction would break the MXU epilogue fusion); the delayed
+    check must still cut iterations vs plain K-blocked and satisfy the
+    same residual criterion."""
+    from proxtpu.kernels.lasso import solve_lasso_multirhs
+
+    A, b, lam, Lf = data
+    A1 = A[0]
+    Lf1 = float(np.linalg.norm(np.asarray(A1), 2) ** 2)
+    tol = 1e-5
+    z_r, it_r, d_r = solve_lasso_multirhs(
+        A1, b, lam, Lf1, tol, maxit=3000, iter_block=8, restart=True)
+    z_p, it_p, d_p = solve_lasso_multirhs(
+        A1, b, lam, Lf1, tol, maxit=3000, iter_block=8)
+    assert bool(jnp.all(d_r)) and bool(jnp.all(d_p))
+    gamma = 1.0 / Lf1
+    res = jnp.max(jnp.abs(
+        z_r - jnp.sign(z_r - gamma * ((z_r @ A1.T - b) @ A1))
+        * jnp.maximum(
+            jnp.abs(z_r - gamma * ((z_r @ A1.T - b) @ A1))
+            - gamma * lam[:, None], 0.0))) / gamma
+    assert float(res) <= 1.1 * tol
+    assert float(jnp.mean(np.asarray(it_r))) < float(
+        jnp.mean(np.asarray(it_p))
+    )

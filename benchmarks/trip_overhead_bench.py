@@ -142,7 +142,7 @@ def full_step_solver(A, b, lam, Lf, tol, maxit=ITERS, alias=True):
 
     def full_step(x, z_prev, beta, dm):
         xo, zo, res, _rs = pl.pallas_call(
-            _fista_full_step_kernel,
+            _fista_full_step_kernel(),
             grid=(Bn // L,),
             in_specs=[
                 vspec((Mn, Nn)), vspec((Mn, 1)), vspec((1, Nn)),

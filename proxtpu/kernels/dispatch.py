@@ -423,8 +423,30 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
     # option defaults only — any customization falls back to the generic path
     if kwargs.get("adaptive"):
         return None
-    if kwargs.get("extrapolation_sequence") is not None:
-        return None
+    # One recognized non-default sequence: AdaptiveRestartSequence wrapping
+    # the default t-recursion (FixedNesterovSequence, or AdaptiveNesterov
+    # with m=0, which reproduces it under the fixed stepsize required here)
+    # maps onto the kernels' in-kernel O'Donoghue-Candès restart.
+    restart = False
+    seq = kwargs.get("extrapolation_sequence")
+    if seq is not None:
+        from ..accel.nesterov import (
+            AdaptiveNesterovSequence,
+            AdaptiveRestartSequence,
+            FixedNesterovSequence,
+        )
+
+        inner = getattr(seq, "sequence", None)
+        if isinstance(seq, AdaptiveRestartSequence) and (
+            isinstance(inner, FixedNesterovSequence)
+            or (
+                isinstance(inner, AdaptiveNesterovSequence)
+                and float(inner.m) == 0.0
+            )
+        ):
+            restart = True
+        else:
+            return None
     if float(kwargs.get("mf", 0.0) or 0.0) != 0.0:
         return None
     x0 = kwargs.get("x0")
@@ -471,7 +493,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
             K = iter_block if _is_default_backend_tpu() else 1
             return lambda: solve_lasso_multirhs(
-                A, b, lam, Lfs, tol, maxit=maxit, iter_block=K
+                A, b, lam, Lfs, tol, maxit=maxit, iter_block=K,
+                restart=restart,
             )
 
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
@@ -509,20 +532,23 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         def run():
             if on_tpu and interpret is not True and dma_bound:
                 z, it, done = solve_lasso_batch_blocked(
-                    A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block
+                    A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
+                    restart=restart,
                 )
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(
-                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True
+                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
+                    restart=restart,
                 )
             elif interpret:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    interpret=True,
+                    interpret=True, restart=restart,
                 )
             else:
                 z, it, done = solve_lasso_batch(
-                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False
+                    A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False,
+                    restart=restart,
                 )
             return z, it, done
 
@@ -531,6 +557,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
     if name == "make_forward_backward_iteration":
         from ..prox.functions import IndBox, Quadratic
 
+        if seq is not None:
+            return None  # plain FB has no momentum to restart
         if not isinstance(f, Quadratic):
             return None
         if not isinstance(g, IndBox):

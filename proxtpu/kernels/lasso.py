@@ -119,9 +119,7 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
     return z.reshape(B, N), res.reshape(B)
 
 
-def _fista_full_step_kernel(A_ref, b_ref, x_ref, zp_ref, beta_ref,
-                            gamma_ref, thr_ref, done_ref,
-                            xo_ref, zo_ref, res_ref, rs_ref):
+def _fista_full_step_kernel(restart=False):
     """One complete FISTA iteration per lane: FB step + prox + Nesterov
     extrapolation + converged-lane freeze + residual read-out, all in VMEM.
 
@@ -133,43 +131,58 @@ def _fista_full_step_kernel(A_ref, b_ref, x_ref, zp_ref, beta_ref,
 
     ``rs_ref`` emits the O'Donoghue-Candès gradient-scheme restart signal
     per lane, ``<x - z, z - z_prev> > 0`` (momentum points against the
-    gradient mapping) — a (1, N) reduction on values already in VMEM.  The
-    caller decides whether to act on it."""
-    L = A_ref.shape[0]
-    for l in range(L):
-        A = A_ref[l].astype(x_ref.dtype)   # (M, N); bf16-A stage casts up
-        x = x_ref[l]            # (1, N)
-        zp = zp_ref[l]          # (1, N)
-        bcol = b_ref[l]         # (M, 1)
-        beta = beta_ref[l, 0, 0]
-        gamma = gamma_ref[l, 0, 0]
-        thr = thr_ref[l, 0, 0]
-        dm = done_ref[l, 0, 0]  # 1.0 = frozen lane
+    gradient mapping) — a (1, N) reduction on values already in VMEM.
+    With ``restart=True`` the kernel also *acts* on it immediately: the
+    triggering lane's extrapolation uses beta = 0 (the paper's semantic —
+    the reset kills THIS step's momentum, matching
+    ``accel.AdaptiveRestartSequence``, which resets the sequence state
+    before the coefficient is drawn); the caller resets the lane's t
+    carry from the emitted signal."""
 
-        r = jnp.sum(A * x, axis=1, keepdims=True) - bcol
-        grad = jnp.sum(A * r, axis=0, keepdims=True)
-        y = x - gamma * grad
-        z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr, 0.0)
-        x_new = z + beta * (z - zp)
-        # frozen lanes keep their carry (the aliased buffers must still be
-        # written: the VMEM output window is distinct from the input's)
-        xo_ref[l] = dm * x + (1 - dm) * x_new
-        zo_ref[l] = dm * zp + (1 - dm) * z
-        res_ref[l] = ((1 - dm) * jnp.max(jnp.abs(x - z))).reshape(1, 1)
-        rs = jnp.sum((x - z) * (z - zp))
-        rs_ref[l] = ((1 - dm) * rs).reshape(1, 1)
+    def kernel(A_ref, b_ref, x_ref, zp_ref, beta_ref, gamma_ref, thr_ref,
+               done_ref, xo_ref, zo_ref, res_ref, rs_ref):
+        L = A_ref.shape[0]
+        for l in range(L):
+            A = A_ref[l].astype(x_ref.dtype)  # (M, N); bf16-A casts up
+            x = x_ref[l]            # (1, N)
+            zp = zp_ref[l]          # (1, N)
+            bcol = b_ref[l]         # (M, 1)
+            beta = beta_ref[l, 0, 0]
+            gamma = gamma_ref[l, 0, 0]
+            thr = thr_ref[l, 0, 0]
+            dm = done_ref[l, 0, 0]  # 1.0 = frozen lane
+
+            r = jnp.sum(A * x, axis=1, keepdims=True) - bcol
+            grad = jnp.sum(A * r, axis=0, keepdims=True)
+            y = x - gamma * grad
+            z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr, 0.0)
+            rs = jnp.sum((x - z) * (z - zp))
+            if restart:
+                beta = jnp.where(rs > 0, jnp.zeros_like(beta), beta)
+            x_new = z + beta * (z - zp)
+            # frozen lanes keep their carry (the aliased buffers must
+            # still be written: the VMEM output window is distinct from
+            # the input's)
+            xo_ref[l] = dm * x + (1 - dm) * x_new
+            zo_ref[l] = dm * zp + (1 - dm) * z
+            res_ref[l] = ((1 - dm) * jnp.max(jnp.abs(x - z))).reshape(1, 1)
+            rs_ref[l] = ((1 - dm) * rs).reshape(1, 1)
+
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "lanes"))
+@partial(jax.jit, static_argnames=("interpret", "lanes", "restart"))
 def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
-                          interpret=False, lanes=None):
+                          interpret=False, lanes=None, restart=False):
     """One full FISTA iteration for the batch (see the kernel docstring).
 
     ``x`` and ``z_prev`` are aliased to the outputs — inside a
     ``while_loop`` the carry is updated in place with no fresh HBM
     allocation.  Returns (x_new, z_new, res_inf, restart_sig) with
     res_inf = 0 and restart_sig = 0 for frozen lanes; restart_sig > 0 is
-    the per-lane adaptive-restart signal (see kernel docstring)."""
+    the per-lane adaptive-restart signal (see kernel docstring).  With
+    ``restart=True`` the triggering lane's extrapolation is zeroed
+    in-kernel (immediate restart); the caller resets its t carry."""
     B, M, N = A.shape
     dtype = x.dtype
     L = auto_lanes(B, M * N * A.dtype.itemsize, lanes)
@@ -182,7 +195,7 @@ def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
     )
 
     xo, zo, res, rs = pl.pallas_call(
-        _fista_full_step_kernel,
+        _fista_full_step_kernel(restart=restart),
         grid=(B // L,),
         in_specs=[
             vspec((M, N)), vspec((M, 1)), vspec((1, N)), vspec((1, N)),
@@ -283,13 +296,16 @@ def solve_lasso_batch(
             beta = (t - 1) / t_new
             x_new, z, res, rs = fused_fista_full_step(
                 A, b, x, z_prev, beta, gamma, thr, done.astype(dtype),
-                interpret=interpret,
+                interpret=interpret, restart=restart,
             )
             if restart:
-                # x_new was built with the pre-restart beta; resetting t
-                # takes effect on the NEXT extrapolation (the standard
-                # formulation of the gradient restart scheme)
-                t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
+                # immediate (paper) semantic, matching
+                # accel.AdaptiveRestartSequence: the kernel zeroed the
+                # triggering lane's beta for THIS extrapolation (t reset
+                # to 1 before the coefficient), so its carry advances
+                # from 1 -> (1+sqrt(5))/2
+                phi = jnp.asarray((1 + jnp.sqrt(5.0)) / 2, t_new.dtype)
+                t_new = jnp.where(rs > 0, phi, t_new)
             newly_done = res / gamma <= tol
             k = k + 1
             iters = jnp.where(done, iters, k)
@@ -300,13 +316,15 @@ def solve_lasso_batch(
             k, x, z_prev, t, done, iters = c
             # FB step at the current extrapolated point, then Nesterov
             # extrapolation with the simple t-sequence
-            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             z, res = step_fn(A, b, x, gamma, thr)
+            if restart:
+                # immediate restart: reset t BEFORE drawing the
+                # coefficient (= AdaptiveRestartSequence semantics)
+                rs = jnp.sum((x - z) * (z - z_prev), axis=1)
+                t = jnp.where(rs > 0, jnp.ones_like(t), t)
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             beta = ((t - 1) / t_new)[:, None]
             x_new = z + beta * (z - z_prev)
-            if restart:
-                rs = jnp.sum((x - z) * (z - z_prev), axis=1)
-                t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
             newly_done = res / gamma <= tol
             keep = done[:, None]
             x_new = jnp.where(keep, x, x_new)
@@ -347,12 +365,14 @@ def _fb_k_steps_kernel(K, restart=False):
                 y = x - gamma * grad
                 z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr, 0.0)
                 res = jnp.max(jnp.abs(x - z))
+                if restart:
+                    # immediate restart: reset t BEFORE drawing the
+                    # coefficient (= AdaptiveRestartSequence semantics)
+                    rs = jnp.sum((x - z) * (z - zprev))
+                    t = jnp.where(rs > 0, jnp.ones_like(t), t)
                 t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
                 beta = (t - 1) / t_new
                 x_new = z + beta * (z - zprev)
-                if restart:
-                    rs = jnp.sum((x - z) * (z - zprev))
-                    t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
                 return (x_new, z, t_new, res)
 
             x_in, zp_in, t_in = x_ref[l], zp_ref[l], t_ref[l, 0, 0]
@@ -535,10 +555,7 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
     def fista_k(x, z_prev, t):
         def one(c, check):
             x, z_prev, t, _res = c
-            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             z, res = step_fn(x)
-            beta = ((t - 1) / t_new)[:, None]
-            x_new = z + beta * (z - z_prev)
             if restart and check:
                 # O'Donoghue-Candès gradient signal, evaluated ONLY on the
                 # last step of each K-block: the per-step (B,N) reduction +
@@ -548,8 +565,13 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
                 # the first K-1 steps and still kills a wrong-way momentum
                 # within one block (restart tolerates delayed checks: the
                 # signal stays positive while the momentum overshoots).
+                # Reset BEFORE drawing the coefficient (immediate restart,
+                # = AdaptiveRestartSequence semantics).
                 rs = jnp.sum((x - z) * (z - z_prev), axis=1)
-                t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
+                t = jnp.where(rs > 0, jnp.ones_like(t), t)
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            beta = ((t - 1) / t_new)[:, None]
+            x_new = z + beta * (z - z_prev)
             return (x_new, z, t_new, res)
 
         c = (x, z_prev, t, jnp.zeros((B,), dtype))

@@ -95,6 +95,55 @@ def test_lasso_interpret_kernel_path(lasso):
         assert np.max(np.abs(x - z)) / gi <= 2 * TOL
 
 
+def test_restart_sequence_routes_to_kernel_restart(lasso):
+    """AdaptiveRestartSequence wrapping the default t-recursion is the one
+    recognized non-default sequence: it maps onto the kernels' in-kernel
+    O'Donoghue-Candès restart, with per-lane counts matching the generic
+    driver running the same wrapped sequence."""
+    import proxtpu as pa
+    from proxtpu.parallel.batch import batched_run_loop
+
+    A, b, lam, Lf = lasso
+    seq = pa.AdaptiveRestartSequence(pa.FixedNesterovSequence())
+    kw = dict(lasso_kwargs(A, b, lam, Lf), extrapolation_sequence=seq)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is not None
+
+    fast = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL
+    )
+    xs_f, it_f, d_f = fast(**kw)
+    iteration = jax.vmap(
+        lambda Ai, bi, li, Li: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N, jnp.float32),
+            f=LeastSquaresLoss(Ai, bi),
+            g=NormL1(li),
+            gamma=1.0 / Li,
+            extrapolation_sequence=seq,
+        )
+    )(A, b, lam, Lf)
+    xs_s, it_s, d_s = batched_run_loop(iteration, 3000, TOL)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1
+    # and the restart actually engaged: fewer iterations than plain FISTA
+    _, it_plain, _ = fast(**lasso_kwargs(A, b, lam, Lf))
+    assert float(np.mean(np.asarray(it_f))) < float(
+        np.mean(np.asarray(it_plain))
+    )
+
+    # any other wrapped sequence falls back to the generic driver
+    kw_other = dict(
+        lasso_kwargs(A, b, lam, Lf),
+        extrapolation_sequence=pa.AdaptiveRestartSequence(
+            pa.SimpleNesterovSequence()),
+    )
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw_other, tol=TOL, maxit=3000
+    ) is None
+
+
 def test_nonzero_x0_falls_back(lasso):
     A, b, lam, Lf = lasso
     kw = lasso_kwargs(A, b, lam, Lf)

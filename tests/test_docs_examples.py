@@ -76,3 +76,17 @@ def test_sparse_linear_regression_example():
     assert {"bmi", "s5", "bp"} <= names
     assert 1 <= len(names) <= 9  # a strict subset: L1 actually sparsifies
     assert out["test_mse"] < 1600.0
+
+
+def test_migration_guide_block_runs():
+    """The five-minute block of ``migrating_from_proximalalgorithms.md``
+    must run verbatim and converge (it is the first thing a reference
+    user tries)."""
+    code = _first_code_block(
+        os.path.join(DOCS, "migrating_from_proximalalgorithms.md"))
+    ns = {}
+    exec(compile(code, "migrating_from_proximalalgorithms.md", "exec"), ns)
+    assert int(ns["iterations"]) < 1000
+    # the block's lasso is tests/problems.py's: pin the optimum
+    x = np.asarray(ns["solution"])
+    assert np.max(np.abs(x - np.asarray(LASSO_XSTAR, np.float64))) <= 1e-4

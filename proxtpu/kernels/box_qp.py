@@ -115,7 +115,7 @@ def reference_pg_box_step(Q, q, x, gamma, lo, hi):
 
 @partial(jax.jit, static_argnames=("maxit", "use_kernel", "interpret"))
 def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
-                       interpret=False):
+                       interpret=False, x0=None):
     """Batched projected-gradient solver for box QPs with the fused step.
 
     ``gamma = 0.95 / Lip`` per lane (the nonconvex-QP test convention);
@@ -133,7 +133,8 @@ def solve_box_qp_batch(Q, q, lo, hi, Lip, tol, maxit=10_000, use_kernel=True,
         else reference_pg_box_step
     )
 
-    x0 = jnp.zeros((B, n), dtype)
+    x0 = jnp.zeros((B, n), dtype) if x0 is None else \
+        jnp.asarray(x0, dtype).reshape(B, n)
     z0, res0 = step_fn(Q, q, x0, gamma, lo_v, hi_v)
     done0 = res0 / gamma <= tol
     init = (jnp.asarray(1, jnp.int32), z0, done0, jnp.ones((B,), jnp.int32))
@@ -263,7 +264,7 @@ def fused_pg_box_k_steps(Q, q, x, gamma, lo, hi, done_mask=None, K=8,
 
 @partial(jax.jit, static_argnames=("maxit", "iter_block", "interpret"))
 def solve_box_qp_batch_blocked(Q, q, lo, hi, Lip, tol, maxit=10_000,
-                               iter_block=8, interpret=False):
+                               iter_block=8, interpret=False, x0=None):
     """Iteration-blocked batched projected gradient (Q read from HBM once
     per ``iter_block`` iterations; stopping sampled at block boundaries —
     counts are upper bounds, solutions at least as converged)."""
@@ -274,7 +275,8 @@ def solve_box_qp_batch_blocked(Q, q, lo, hi, Lip, tol, maxit=10_000,
     hi_v = jnp.broadcast_to(jnp.asarray(hi, dtype), (B,))
     K = iter_block
 
-    x0 = jnp.zeros((B, n), dtype)
+    x0 = jnp.zeros((B, n), dtype) if x0 is None else \
+        jnp.asarray(x0, dtype).reshape(B, n)
     z0, res0 = fused_pg_box_step(Q, q, x0, gamma, lo_v, hi_v,
                                  interpret=interpret)
     done0 = res0 / gamma <= tol

@@ -11,8 +11,11 @@ once (or once per K iterations) per step instead of twice.
 (factory + function classes + default options) and returns a ready-to-run
 closure, or ``None`` when the problem does not match exactly — the caller
 then falls back to the generic driver.  Matching is deliberately
-conservative: any nonstandard option (adaptive steps, custom extrapolation,
-custom stopping/solution, nonzero x0) disables the fast path.
+conservative: any nonstandard option (adaptive steps, custom stopping/
+solution, or a custom extrapolation sequence other than
+``AdaptiveRestartSequence`` around the default t-recursion) disables the
+fast path.  A concrete ``x0`` of any value rides the kernels as a warm
+start (f64-exact trajectory parity with the generic driver).
 
 Semantics of the fast path vs the generic driver (pinned by
 ``tests/test_kernels.py`` / ``tests/test_dispatch.py``): identical fixed
@@ -450,7 +453,15 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
     if float(kwargs.get("mf", 0.0) or 0.0) != 0.0:
         return None
     x0 = kwargs.get("x0")
-    if x0 is None or not _concrete_all_zero(x0):
+    if x0 is None:
+        return None
+    # any CONCRETE x0 rides the kernels (warm start — exact trajectory
+    # parity with the generic driver, f64-verified; f32 counts can drift a
+    # few % by rounding chaos, solutions agree to solver tolerance).  A
+    # traced x0 falls back to the generic driver.
+    try:
+        x0_pass = None if not np.asarray(x0).any() else jnp.asarray(x0)
+    except Exception:
         return None
 
     f = kwargs.get("f")
@@ -492,9 +503,11 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             from .lasso import solve_lasso_multirhs
 
             K = iter_block if _is_default_backend_tpu() else 1
+            if np.shape(x0) != (b.shape[0], A.shape[1]):
+                return None
             return lambda: solve_lasso_multirhs(
                 A, b, lam, Lfs, tol, maxit=maxit, iter_block=K,
-                restart=restart,
+                restart=restart, x0=x0_pass,
             )
 
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
@@ -529,26 +542,29 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         dma_bound = lane_bytes >= (1 << 20)
         mxu_small = lane_bytes < (1 << 17)
 
+        if np.shape(x0) != (A.shape[0], A.shape[2]):
+            return None
+
         def run():
             if on_tpu and interpret is not True and dma_bound:
                 z, it, done = solve_lasso_batch_blocked(
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
-                    restart=restart,
+                    restart=restart, x0=x0_pass,
                 )
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    restart=restart,
+                    restart=restart, x0=x0_pass,
                 )
             elif interpret:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    interpret=True, restart=restart,
+                    interpret=True, restart=restart, x0=x0_pass,
                 )
             else:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False,
-                    restart=restart,
+                    restart=restart, x0=x0_pass,
                 )
             return z, it, done
 
@@ -592,25 +608,29 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         # the VMEM-resident blocked kernel only wins once per-lane Q is
         # DMA-bound (>= 1 MB)
         dma_bound = int(Q.shape[1]) ** 2 * Q.dtype.itemsize >= (1 << 20)
+        if np.shape(x0) != tuple(q.shape):
+            return None
 
         def run():
             if on_tpu and interpret is not True and dma_bound:
                 x, it, done = solve_box_qp_batch_blocked(
                     Q, q, lo, hi, Lip, tol, maxit=maxit,
-                    iter_block=iter_block,
+                    iter_block=iter_block, x0=x0_pass,
                 )
             elif on_tpu and interpret is not True:
                 x, it, done = solve_box_qp_batch(
-                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=False
+                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=False,
+                    x0=x0_pass,
                 )
             elif interpret:
                 x, it, done = solve_box_qp_batch(
                     Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=True,
-                    interpret=True,
+                    interpret=True, x0=x0_pass,
                 )
             else:
                 x, it, done = solve_box_qp_batch(
-                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=False
+                    Q, q, lo, hi, Lip, tol, maxit=maxit, use_kernel=False,
+                    x0=x0_pass,
                 )
             return x, it, done
 

@@ -144,10 +144,28 @@ def test_restart_sequence_routes_to_kernel_restart(lasso):
     ) is None
 
 
-def test_nonzero_x0_falls_back(lasso):
+def test_nonzero_x0_warm_starts_kernel(lasso):
+    """A concrete nonzero x0 rides the kernels as a warm start: the
+    dispatch matches, and restarting from the cold solution converges in
+    ~1 iteration with the same fixed point."""
     A, b, lam, Lf = lasso
     kw = lasso_kwargs(A, b, lam, Lf)
-    kw["x0"] = jnp.ones((B, N), jnp.float32)
+    fast = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL
+    )
+    xs_cold, it_cold, d_cold = fast(**kw)
+    kw["x0"] = xs_cold
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is not None
+    xs_warm, it_warm, d_warm = fast(**kw)
+    assert bool(jnp.all(d_cold)) and bool(jnp.all(d_warm))
+    assert int(np.max(np.asarray(it_warm))) <= 3
+    np.testing.assert_allclose(np.asarray(xs_warm), np.asarray(xs_cold),
+                               atol=1e-4)
+
+    # wrong-shaped x0 still falls back
+    kw["x0"] = jnp.zeros((B, N + 1), jnp.float32)
     assert match_kernel_solver(
         make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
     ) is None

@@ -415,3 +415,45 @@ def test_restart_multirhs_block_boundary(data):
     assert float(jnp.mean(np.asarray(it_r))) < float(
         jnp.mean(np.asarray(it_p))
     )
+
+
+def test_compacting_exact_parity(data):
+    """Lane compaction is pure scheduling: per-lane counts and solutions
+    are BIT-identical to solve_lasso_batch (shared loop body), for both
+    the XLA and the interpreted-kernel step, plain and restarted, and
+    with a lane capped at maxit."""
+    from proxtpu.kernels.lasso import solve_lasso_batch_compacting
+
+    A, b, lam, Lf = data
+    rng = np.random.default_rng(5)
+    # spread difficulty so compaction actually triggers
+    lam = lam * jnp.asarray((0.2 + 0.8 * rng.random(lam.shape[0])),
+                            jnp.float32)
+    for use_kernel, interp in ((False, False), (True, True)):
+        for restart in (False, True):
+            z1, i1, d1 = solve_lasso_batch(
+                A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=use_kernel,
+                interpret=interp, restart=restart)
+            z2, i2, d2 = solve_lasso_batch_compacting(
+                A, b, lam, Lf, 1e-5, maxit=3000, use_kernel=use_kernel,
+                interpret=interp, restart=restart, segment=40, min_batch=2)
+            assert (np.asarray(i1) == np.asarray(i2)).all()
+            assert (np.asarray(d1) == np.asarray(d2)).all()
+            if use_kernel:
+                # per-lane VMEM reductions are batch-size invariant
+                np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+            else:
+                # XLA's batched-einsum reduction tiling depends on the
+                # batch size -> last-ULP differences after the gather
+                np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                                           atol=5e-7)
+
+    # maxit cap: unconverged lanes report maxit and done=False
+    z1, i1, d1 = solve_lasso_batch(A, b, lam, Lf, 1e-12, maxit=60,
+                                   use_kernel=False)
+    z2, i2, d2 = solve_lasso_batch_compacting(
+        A, b, lam, Lf, 1e-12, maxit=60, use_kernel=False, segment=25,
+        min_batch=2)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))

@@ -323,7 +323,8 @@ def _uniform_concrete(v):
 
 def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                    gamma2=None, use_kernel=True, interpret=False,
-                   lanes=None, return_dual=False, formulation="roll"):
+                   lanes=None, return_dual=False, formulation="roll",
+                   x0=None, y0=None):
     """Batched TV denoising by iteration-blocked fused Chambolle-Pock.
 
     Matches the generic vmapped AFBA/CP driver's trajectory and stopping
@@ -358,7 +359,7 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
         b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
         gamma2=gamma2, use_kernel=use_kernel, interpret=interpret,
         lanes=lanes, return_dual=return_dual, formulation=formulation,
-        per_lane_lam=per_lane_lam,
+        per_lane_lam=per_lane_lam, x0=x0, y0=y0,
     )
 
 
@@ -370,7 +371,7 @@ def solve_tv_batch(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
 def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                          gamma2=None, use_kernel=True, interpret=False,
                          lanes=None, return_dual=False, formulation="roll",
-                         per_lane_lam=False):
+                         per_lane_lam=False, x0=None, y0=None):
     B, H, W = b.shape
     dtype = b.dtype
     g1d, g2d = default_tv_stepsizes(dtype)
@@ -410,10 +411,17 @@ def _solve_tv_batch_impl(b, lam, tol, maxit=5000, iter_block=8, gamma1=None,
                 (x, yx, yy, jnp.zeros((B,), dtype)),
             )
 
-    x0 = jnp.zeros((B, H, W), dtype)
-    y0 = jnp.zeros((B, H, W), dtype)
+    # warm start: x0 is the primal image, y0 the (B, 2, H, W) dual field
+    # (the shape return_dual emits, so a previous solve re-enters directly)
+    x0 = jnp.zeros((B, H, W), dtype) if x0 is None else \
+        jnp.asarray(x0, dtype).reshape(B, H, W)
+    if y0 is None:
+        yx0 = yy0 = jnp.zeros((B, H, W), dtype)
+    else:
+        y0 = jnp.asarray(y0, dtype).reshape(B, 2, H, W)
+        yx0, yy0 = y0[:, 0], y0[:, 1]
     # init = one driver step (iteration 1)
-    x, yx, yy, res = step_fn(b, x0, y0, y0, 1)
+    x, yx, yy, res = step_fn(b, x0, yx0, yy0, 1)
     done0 = res <= tol
     init = (jnp.asarray(1, jnp.int32), x, yx, yy, done0,
             jnp.ones((B,), jnp.int32))

@@ -224,3 +224,25 @@ def test_mxu_formulation_solves_to_tolerance(noisy):
     np.testing.assert_allclose(np.asarray(mxu[0]), np.asarray(roll[0]),
                                atol=1e-4)
     assert int(np.max(np.abs(np.asarray(mxu[1]) - np.asarray(roll[1])))) <= 8
+
+
+def test_tv_warm_start():
+    """x0/y0 warm start: re-entering from a previous solve's
+    (x, (B,2,H,W) dual) converges immediately on both step paths."""
+    import numpy as np
+    import jax.numpy as jnp
+    from proxtpu.kernels.tv import solve_tv_batch
+
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((3, 24, 24)).astype(np.float32))
+    (x, y), it, d = solve_tv_batch(b, 0.15, 1e-4, maxit=4000,
+                                   use_kernel=False, return_dual=True)
+    assert bool(np.asarray(d).all())
+    for kw in (dict(use_kernel=False),
+               dict(use_kernel=True, interpret=True)):
+        (x2, _), it2, d2 = solve_tv_batch(b, 0.15, 1e-4, maxit=4000,
+                                          return_dual=True, x0=x, y0=y, **kw)
+        assert bool(np.asarray(d2).all())
+        assert float(np.mean(np.asarray(it2))) <= 0.2 * float(
+            np.mean(np.asarray(it)))
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)

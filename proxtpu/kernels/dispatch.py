@@ -415,10 +415,10 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
     * ``make_fast_forward_backward_iteration`` + ``LeastSquaresLoss``/
       ``LeastSquares`` (stacked A (B,M,N), b (B,M), lam=1) + ``NormL1`` +
-      fixed stepsize (``Lf`` or ``gamma``) + zero x0 + default Nesterov
+      fixed stepsize (``Lf`` or ``gamma``) + concrete x0 + default Nesterov
       sequence  →  fused lasso FISTA.
     * ``make_forward_backward_iteration`` + ``Quadratic`` (stacked Q, q) +
-      ``IndBox`` (scalar bounds) + fixed per-lane ``gamma`` + zero x0
+      ``IndBox`` (scalar bounds) + fixed per-lane ``gamma`` + concrete x0
       →  fused box-QP projected gradient.
     """
     if stop is not None or solution is not None:

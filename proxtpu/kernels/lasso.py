@@ -404,6 +404,7 @@ def solve_lasso_batch_compacting(
     """
     B, M, N = A.shape
     dtype = A.dtype
+    segment = max(1, int(segment))  # segment <= 0 would spin forever
     gamma_full = (1.0 / jnp.asarray(Lf)).astype(dtype) * jnp.ones((B,), dtype)
     thr_full = (gamma_full * jnp.asarray(lam)).astype(dtype)
 
@@ -804,7 +805,8 @@ def solve_lasso_batch_mixed(
             A_, b, x, gamma, thr, interpret=interpret
         )
         full_step = lambda A_, x, zp, beta, dm: fused_fista_full_step(
-            A_, b, x, zp, beta, gamma, thr, dm, interpret=interpret
+            A_, b, x, zp, beta, gamma, thr, dm, interpret=interpret,
+            restart=restart,
         )
     else:
         def one_step(A_, x):
@@ -814,8 +816,12 @@ def solve_lasso_batch_mixed(
 
         def full_step(A_, x, zp, beta, dm):
             z, res = one_step(A_, x)
-            x_new = z + beta[:, None] * (z - zp)
             rs = jnp.sum((x - z) * (z - zp), axis=1)
+            if restart:
+                # immediate restart (= AdaptiveRestartSequence semantics):
+                # zero THIS step's extrapolation on trigger
+                beta = jnp.where(rs > 0, jnp.zeros_like(beta), beta)
+            x_new = z + beta[:, None] * (z - zp)
             keep = dm[:, None] > 0
             return (jnp.where(keep, x, x_new), jnp.where(keep, zp, z),
                     jnp.where(dm > 0, 0.0, res).astype(dtype),
@@ -837,7 +843,10 @@ def solve_lasso_batch_mixed(
             x_new, z, res, rs = full_step(A_, x, z_prev, beta,
                                           done.astype(dtype))
             if restart:
-                t_new = jnp.where(rs > 0, jnp.ones_like(t_new), t_new)
+                # the triggering lane's t carry advances from the reset
+                # value 1 -> (1+sqrt(5))/2 (immediate semantic)
+                phi = jnp.asarray((1 + jnp.sqrt(5.0)) / 2, t_new.dtype)
+                t_new = jnp.where(rs > 0, phi, t_new)
             newly_done = res / gamma <= stop_tol
             k = k + 1
             iters = jnp.where(done, iters, k)

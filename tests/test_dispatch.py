@@ -307,3 +307,39 @@ def test_box_qp_dispatch_matches_generic():
     assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
     np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=2e-3)
     assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1
+
+
+def test_restart_sequence_shared_a_routes_multirhs_k1():
+    """Shared-A + AdaptiveRestartSequence routes to solve_lasso_multirhs
+    pinned at iter_block=1 (per-step restart = the generic driver's exact
+    trajectory); per-lane counts match the generic driver +-1."""
+    import proxtpu as pa
+    from proxtpu.parallel.batch import batched_run_loop
+
+    rng = np.random.default_rng(11)
+    A0 = jnp.asarray((rng.standard_normal((M, N)) / np.sqrt(M))
+                     .astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    Lf0 = float(np.linalg.norm(np.asarray(A0), 2) ** 2)
+    lam0 = jnp.asarray(0.1 * np.max(np.abs(np.asarray(bb) @ np.asarray(A0)),
+                                    axis=1), jnp.float32)
+    seq = pa.AdaptiveRestartSequence(pa.FixedNesterovSequence())
+    kw = dict(x0=jnp.zeros((B, N), jnp.float32),
+              f=LeastSquaresLoss(A0, bb), g=NormL1(lam0), Lf=Lf0,
+              extrapolation_sequence=seq)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=4000
+    ) is not None
+    fast = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=4000, tol=TOL)
+    xs_f, it_f, d_f = fast(**kw)
+    iteration = jax.vmap(
+        lambda bi, li: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N, jnp.float32), f=LeastSquaresLoss(A0, bi),
+            g=NormL1(li), gamma=1.0 / Lf0, extrapolation_sequence=seq,
+        )
+    )(bb, lam0)
+    xs_s, it_s, d_s = batched_run_loop(iteration, 4000, TOL)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1

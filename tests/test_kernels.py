@@ -457,3 +457,21 @@ def test_compacting_exact_parity(data):
     assert (np.asarray(i1) == np.asarray(i2)).all()
     assert (np.asarray(d1) == np.asarray(d2)).all()
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_mixed_solver_restart_kernel_matches_xla(data):
+    """Both mixed-solver step paths implement the unified IMMEDIATE
+    restart semantic (reset before the coefficient): counts agree +-1,
+    residual criterion holds."""
+    from proxtpu.kernels.lasso import solve_lasso_batch_mixed
+
+    A, b, lam, Lf = data
+    tol = 1e-5
+    z_x, it_x, d_x = solve_lasso_batch_mixed(
+        A, b, lam, Lf, tol, maxit=3000, use_kernel=False, restart=True)
+    z_k, it_k, d_k = solve_lasso_batch_mixed(
+        A, b, lam, Lf, tol, maxit=3000, use_kernel=True, interpret=True,
+        restart=True)
+    assert bool(jnp.all(d_x)) and bool(jnp.all(d_k))
+    assert int(np.max(np.abs(np.asarray(it_x) - np.asarray(it_k)))) <= 1
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_k))) <= 1.1 * tol

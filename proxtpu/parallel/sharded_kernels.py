@@ -44,7 +44,7 @@ def default_dp_mesh(n_devices=None, axis="dp"):
 
 def sharded_solve_lasso_batch(
     A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=1000, use_kernel=True,
-    interpret=False, restart=False,
+    interpret=False, restart=False, x0=None,
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_batch` data-parallel over
     ``axis``: A (B, M, N), b (B, M), lam/Lf (B,) sharded on the batch dim,
@@ -65,6 +65,15 @@ def sharded_solve_lasso_batch(
         solve_lasso_batch, tol=tol, maxit=maxit, use_kernel=use_kernel,
         interpret=interpret, restart=restart,
     )
+    if x0 is not None:
+        return jax.shard_map(
+            lambda A_, b_, l_, L_, x_: body(A_, b_, l_, L_, x0=x_),
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )(A, b, lam, Lf, x0)
     return jax.shard_map(
         lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
         mesh=mesh,
@@ -107,6 +116,7 @@ def sharded_solve_lasso_batch_blocked(
 
 def sharded_solve_lasso_multirhs(
     A, Bmat, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=1,
+    restart=False, x0=None,
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_multirhs` (shared design
     matrix, MXU matmul formulation) with the RHS batch sharded over
@@ -126,7 +136,16 @@ def sharded_solve_lasso_multirhs(
     lam_v = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (B,))
     Lf_s = jnp.asarray(Lf, A.dtype)
     body = partial(solve_lasso_multirhs, tol=tol, maxit=maxit,
-                   iter_block=iter_block)
+                   iter_block=iter_block, restart=restart)
+    if x0 is not None:
+        return jax.shard_map(
+            lambda A_, B_, l_, L_, x_: body(A_, B_, l_, L_, x0=x_),
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None), P(axis), P(),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )(A, Bmat, lam_v, Lf_s, x0)
     return jax.shard_map(
         lambda A_, B_, l_, L_: body(A_, B_, l_, L_),
         mesh=mesh,

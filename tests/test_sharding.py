@@ -286,3 +286,48 @@ def test_sharded_box_qp_parity(dp_mesh):
     assert bool(jnp.all(d1)) and bool(jnp.all(d8))
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-4)
     assert int(np.max(np.abs(np.asarray(it8) - np.asarray(it1)))) <= 1
+
+
+def test_sharded_lasso_restart_and_warm_start(dp_mesh):
+    """restart= and x0= flow through the shard_map wrappers with parity
+    against the unsharded solvers."""
+    from proxtpu.kernels.lasso import solve_lasso_batch, solve_lasso_multirhs
+    from proxtpu.parallel import (
+        sharded_solve_lasso_batch,
+        sharded_solve_lasso_multirhs,
+    )
+
+    rng = np.random.default_rng(7)
+    B_, M_, N_ = 16, 12, 20
+    A = jnp.asarray((rng.standard_normal((B_, M_, N_)) / np.sqrt(M_))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B_, M_)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(B_)], jnp.float32)
+    tol = 1e-5
+
+    z1, i1, d1 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                   use_kernel=False, restart=True)
+    z8, i8, d8 = sharded_solve_lasso_batch(
+        A, b, lam, Lf, tol, mesh=dp_mesh, maxit=3000, use_kernel=False,
+        restart=True)
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    assert int(np.max(np.abs(np.asarray(i1) - np.asarray(i8)))) <= 1
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z8), atol=1e-5)
+
+    # warm start from the solution: every lane finishes immediately
+    _, iw, dw = sharded_solve_lasso_batch(
+        A, b, lam, Lf, tol, mesh=dp_mesh, maxit=3000, use_kernel=False,
+        x0=z8)
+    assert bool(jnp.all(dw)) and int(np.max(np.asarray(iw))) <= 3
+
+    A0, Lf0 = A[0], float(Lf[0])
+    zm, im, dm = solve_lasso_multirhs(A0, b, lam, Lf0, tol, maxit=3000,
+                                      restart=True)
+    zs, is_, ds = sharded_solve_lasso_multirhs(
+        A0, b, lam, Lf0, tol, mesh=dp_mesh, maxit=3000, restart=True)
+    assert bool(jnp.all(dm)) and bool(jnp.all(ds))
+    assert int(np.max(np.abs(np.asarray(im) - np.asarray(is_)))) <= 1
+    np.testing.assert_allclose(np.asarray(zm), np.asarray(zs), atol=1e-5)

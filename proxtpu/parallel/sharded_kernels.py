@@ -87,7 +87,7 @@ def sharded_solve_lasso_batch(
 
 def sharded_solve_lasso_batch_blocked(
     A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=8,
-    interpret=False, restart=False,
+    interpret=False, restart=False, x0=None,
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_batch_blocked` (K-step
     VMEM-resident kernel) data-parallel over ``axis``."""
@@ -103,6 +103,15 @@ def sharded_solve_lasso_batch_blocked(
         solve_lasso_batch_blocked, tol=tol, maxit=maxit,
         iter_block=iter_block, interpret=interpret, restart=restart,
     )
+    if x0 is not None:
+        return jax.shard_map(
+            lambda A_, b_, l_, L_, x_: body(A_, b_, l_, L_, x0=x_),
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )(A, b, lam, Lf, x0)
     return jax.shard_map(
         lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
         mesh=mesh,
@@ -159,7 +168,7 @@ def sharded_solve_lasso_multirhs(
 
 def sharded_solve_box_qp_batch(
     Q, q, lo, hi, Lip, tol, *, mesh, axis="dp", maxit=20_000,
-    use_kernel=True, interpret=False, iter_block=None,
+    use_kernel=True, interpret=False, iter_block=None, x0=None,
 ):
     """:func:`proxtpu.kernels.box_qp.solve_box_qp_batch` (or its K-blocked
     variant when ``iter_block`` is given) data-parallel over ``axis``."""
@@ -172,15 +181,24 @@ def sharded_solve_box_qp_batch(
         )
 
     if iter_block is not None:
-        body = lambda Q_, q_, L_: solve_box_qp_batch_blocked(
+        body = lambda Q_, q_, L_, **kw: solve_box_qp_batch_blocked(
             Q_, q_, lo, hi, L_, tol, maxit=maxit, iter_block=iter_block,
-            interpret=interpret,
+            interpret=interpret, **kw,
         )
     else:
-        body = lambda Q_, q_, L_: solve_box_qp_batch(
+        body = lambda Q_, q_, L_, **kw: solve_box_qp_batch(
             Q_, q_, lo, hi, L_, tol, maxit=maxit, use_kernel=use_kernel,
-            interpret=interpret,
+            interpret=interpret, **kw,
         )
+    if x0 is not None:
+        return jax.shard_map(
+            lambda Q_, q_, L_, x_: body(Q_, q_, L_, x0=x_),
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )(Q, q, Lip, x0)
     return jax.shard_map(
         body,
         mesh=mesh,

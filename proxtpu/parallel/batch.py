@@ -276,13 +276,21 @@ class BatchedAlgorithm:
     """
 
     def __init__(self, iteration_factory, *, maxit, tol, stop=None,
-                 solution=None, use_kernels="auto", **kwargs):
+                 solution=None, use_kernels="auto", check_every=1,
+                 **kwargs):
         self.iteration_factory = iteration_factory
         self.maxit = maxit
         self.tol = tol
         self.stop = stop
         self.solution = solution
         self.use_kernels = use_kernels
+        # convergence-sampling block for the generic driver: the fixed
+        # per-trip cost (op sequencing + convergence reduction + freeze)
+        # rivals the step itself, so K>1 amortizes it (measured 2x at the
+        # flagship shape, 659 -> 1287 p/s).  Counts become upper bounds
+        # rounded to block boundaries; the kernel fast paths ignore it
+        # (they have their own iter_block policy).
+        self.check_every = check_every
         self.kwargs = kwargs
 
     def __call__(self, **kwargs):
@@ -352,7 +360,7 @@ class BatchedAlgorithm:
         )
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
-            solution=self.solution,
+            solution=self.solution, check_every=self.check_every,
         )
 
 

@@ -76,18 +76,21 @@ def judge(baseline, fresh, threshold):
                     f"{base['converged']} -> {new['converged']}"
                 ),
             })
-        if (
-            base["median_ms"] >= MIN_JUDGED_MS
-            and new["median_ms"] > threshold * base["median_ms"]
-        ):
+        # judge on MIN-of-N, not median: min is the load-robust estimator
+        # (what BenchmarkTools' min-time judge uses, runbenchmarks.jl:56-76)
+        # — a transiently loaded runner inflates medians 2-4x while minima
+        # move far less (observed: 3 same-code judge runs under varying
+        # load flagged 0/4/6 rows on medians; an A/B worktree run showed
+        # no real regression).  Fall back to median for old baselines.
+        b_ms = base.get("min_ms", base["median_ms"])
+        n_ms = new.get("min_ms", new["median_ms"])
+        if b_ms >= MIN_JUDGED_MS and n_ms > threshold * b_ms:
             failures.append({
                 "workload": wname, "solver": sname, "regression": True,
                 "kind": "time",
                 "detail": (
-                    f"median {base['median_ms']:.3f} ms -> "
-                    f"{new['median_ms']:.3f} ms "
-                    f"({new['median_ms'] / base['median_ms']:.2f}x > "
-                    f"{threshold}x)"
+                    f"min {b_ms:.3f} ms -> {n_ms:.3f} ms "
+                    f"({n_ms / b_ms:.2f}x > {threshold}x)"
                 ),
             })
     return failures

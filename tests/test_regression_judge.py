@@ -43,6 +43,8 @@ def test_identical_run_is_green(rows, tmp_path):
 def test_injected_slowdown_is_red(rows, tmp_path):
     bad = [dict(r) for r in rows]
     bad[0]["median_ms"] *= 10
+    if "min_ms" in bad[0]:
+        bad[0]["min_ms"] *= 10  # the judge compares min-of-N (load-robust)
     r = run_judge(bad, tmp_path)
     assert r.returncode == 1
     kinds = [json.loads(line)["kind"]
@@ -72,5 +74,7 @@ def test_speedup_is_green(rows, tmp_path):
     fast = [dict(r) for r in rows]
     for r in fast:
         r["median_ms"] *= 0.1
+        if "min_ms" in r:
+            r["min_ms"] *= 0.1
     res = run_judge(fast, tmp_path)
     assert res.returncode == 0, res.stdout + res.stderr

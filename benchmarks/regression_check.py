@@ -123,10 +123,19 @@ def main():
         fresh_rows = {(r["workload"], r["solver"]): r for r in results}
 
     if args.update:
+        # MERGE into the existing baseline: with --workloads (or a partial
+        # --fresh) a plain rewrite would silently drop every other row —
+        # and since judge() iterates baseline keys, the dropped rows would
+        # never be judged again (no missing-row failure fires)
+        merged = {}
+        if os.path.exists(args.baseline):
+            merged = load_rows(args.baseline)
+        merged.update(fresh_rows)
         with open(args.baseline, "w") as f:
-            for r in fresh_rows.values():
+            for r in merged.values():
                 f.write(json.dumps(r) + "\n")
-        print(f"baseline updated: {args.baseline} ({len(fresh_rows)} rows)")
+        print(f"baseline updated: {args.baseline} ({len(fresh_rows)} rows "
+              f"re-recorded, {len(merged)} total)")
         return 0
 
     baseline = load_rows(args.baseline)

@@ -21,7 +21,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the reference's benchmark inputs (benchmark/data/*.jld2), converted once
+# to npz and committed under benchmarks/data/ so CI runners (which have no
+# /root/reference mount) run the identical matrix; the jld2 originals are
+# still preferred when present so a refreshed reference propagates
 DATA_DIR = "/root/reference/benchmark/data"
+LOCAL_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "data")
 WORKLOADS = [
     ("lasso_tiny", "lasso_tiny.jld2"),
     ("lasso_small", "lasso_small.jld2"),
@@ -30,13 +36,18 @@ WORKLOADS = [
 
 
 def load_workload(file_name):
-    import h5py
+    jld2 = os.path.join(DATA_DIR, file_name)
+    if os.path.exists(jld2):
+        import h5py
 
-    with h5py.File(os.path.join(DATA_DIR, file_name), "r") as f:
-        A = np.asarray(f["A"]).T  # Julia column-major -> (m, n)
-        b = np.asarray(f["b"])
-        lam = float(np.asarray(f["lambda"]))
-    return A, b, lam
+        with h5py.File(jld2, "r") as f:
+            A = np.asarray(f["A"]).T  # Julia column-major -> (m, n)
+            b = np.asarray(f["b"])
+            lam = float(np.asarray(f["lambda"]))
+        return A, b, lam
+    with np.load(os.path.join(
+            LOCAL_DATA_DIR, file_name.replace(".jld2", ".npz"))) as f:
+        return f["A"], f["b"], float(f["lam"])
 
 
 # Per-solver maxit raised above the library defaults (FB 10k, DR 1k) so that

@@ -257,35 +257,31 @@ def _match_flat_drls(kwargs, *, tol, maxit):
     if lam is None:
         lam = kwargs.get("lam", 1.0)
 
-    from ..prox.base import is_convex
-
     R = jnp.zeros((), x0.dtype).real.dtype
     lam_v = jnp.broadcast_to(jnp.asarray(lam, R), (B,))
-    # per-lane drls_default_gamma / drls_C with jnp arithmetic (the factory's
-    # scalar formulas, ``drls.jl:11-22``)
+    # per-lane stepsizes through the SAME helpers the factory uses
+    # (drls_default_gamma / drls_C are array-safe), so the fast path can
+    # never drift from the driver's formulas (``drls.jl:11-22``)
+    from ..algorithms.drls import drls_C, drls_default_gamma
+
+    needs_lf = Lf is None and (mf is None or mf <= 0)
+    Lf_v = (
+        None if Lf is None
+        else jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
+    )
     if gamma is None:
-        if mf is not None and mf > 0:
-            gamma_v = jnp.full((B,), 1 / (alpha * mf), R)
-        elif is_convex(f):
-            gamma_v = alpha / jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
-        else:
-            gamma_v = (
-                alpha * (2 - lam_v)
-                / (2 * jnp.broadcast_to(jnp.asarray(Lf, R), (B,)))
-            )
+        if needs_lf:
+            return None  # factory would fail deriving gamma without Lf
+        gamma_v = jnp.broadcast_to(
+            jnp.asarray(drls_default_gamma(f, mf, Lf_v, alpha, lam_v), R),
+            (B,),
+        )
     else:
         gamma_v = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
     if c is None:
-        if Lf is None and (mf is None or mf <= 0):
+        if needs_lf:
             return None  # factory would fail deriving c without Lf
-        if mf is not None and mf > 0:
-            a = 1 / (gamma_v * mf)
-        else:
-            a = gamma_v * jnp.broadcast_to(jnp.asarray(Lf, R), (B,))
-        m = jnp.maximum(a - lam_v / 2, 0) if is_convex(f) else 1.0
-        c_v = beta * (
-            lam_v / ((1 + a) ** 2) * ((2 - lam_v) / 2 - a * m)
-        )
+        c_v = beta * drls_C(f, mf, Lf_v, gamma_v, lam_v)
     else:
         c_v = jnp.broadcast_to(jnp.asarray(c, R), (B,))
     dre_sign = 1 if (mf is None or mf <= 0) else -1

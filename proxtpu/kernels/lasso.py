@@ -779,7 +779,7 @@ def solve_lasso_batch_mixed(
     operator), so solution quality is unchanged — only the path to it is
     cheaper.
 
-    ``warm_tol`` defaults to ``max(tol, 3e-3) * 30`` clamped to at least
+    ``warm_tol`` defaults to ``max(tol * 30, 1e-2)``, i.e. at least
     1e-2: the bf16 operator perturbs the fixed point by roughly the bf16
     relative error (~4e-3), so driving stage 1 below ~1e-2 wastes cheap
     iterations converging to the *wrong* fixed point.  ``warm_maxit``

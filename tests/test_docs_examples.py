@@ -64,6 +64,9 @@ def test_sparse_linear_regression_example():
     the ~2900 variance of the test labels)."""
     import importlib.util
 
+    import pytest
+    pytest.importorskip("sklearn")  # diabetes dataset; not a CI dep
+
     path = os.path.join(os.path.dirname(DOCS), "examples",
                         "sparse_linear_regression.py")
     spec = importlib.util.spec_from_file_location("slr_example", path)

@@ -446,7 +446,19 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             restart = True
         else:
             return None
-    if float(kwargs.get("mf", 0.0) or 0.0) != 0.0:
+    # mf > 0 (a static scalar strong-convexity modulus) rides the FISTA
+    # kernels: under the fixed stepsize required here the driver's
+    # AdaptiveNesterovSequence(m=mf) coefficient is constant, and
+    # solve_lasso_batch(mf=...) draws it with the same sequence ops
+    # (bit-faithful, f64-verified).  Array-valued mf or mf combined with a
+    # custom sequence falls back to the generic driver.
+    try:
+        mf_raw = kwargs.get("mf", 0.0)
+        mf = 0.0 if mf_raw is None else float(mf_raw)
+    except (TypeError, ValueError):
+        return None  # array-valued mf: generic driver
+    mf = mf if mf > 0.0 else None
+    if mf is not None and seq is not None:
         return None
     x0 = kwargs.get("x0")
     if x0 is None:
@@ -501,6 +513,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             K = iter_block if _is_default_backend_tpu() else 1
             if np.shape(x0) != (b.shape[0], A.shape[1]):
                 return None
+            if mf is not None:
+                return None  # multirhs has no mf route yet
             return lambda: solve_lasso_multirhs(
                 A, b, lam, Lfs, tol, maxit=maxit, iter_block=K,
                 restart=restart, x0=x0_pass,
@@ -542,7 +556,10 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             return None
 
         def run():
-            if on_tpu and interpret is not True and dma_bound:
+            if (on_tpu and interpret is not True and dma_bound
+                    and mf is None):
+                # (the blocked kernel has no mf route; mf falls through
+                # to the one-step kernel below)
                 z, it, done = solve_lasso_batch_blocked(
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
                     restart=restart, x0=x0_pass,
@@ -550,17 +567,17 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    restart=restart, x0=x0_pass,
+                    restart=restart, x0=x0_pass, mf=mf,
                 )
             elif interpret:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    interpret=True, restart=restart, x0=x0_pass,
+                    interpret=True, restart=restart, x0=x0_pass, mf=mf,
                 )
             else:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False,
-                    restart=restart, x0=x0_pass,
+                    restart=restart, x0=x0_pass, mf=mf,
                 )
             return z, it, done
 
@@ -571,6 +588,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
         if seq is not None:
             return None  # plain FB has no momentum to restart
+        if mf is not None:
+            return None  # plain FB has no extrapolation for mf to tune
         if not isinstance(f, Quadratic):
             return None
         if not isinstance(g, IndBox):

@@ -236,11 +236,11 @@ def reference_fb_prox_grad(A, b, x, gamma, thr):
 
 @partial(
     jax.jit,
-    static_argnames=("maxit", "use_kernel", "interpret", "restart"),
+    static_argnames=("maxit", "use_kernel", "interpret", "restart", "mf"),
 )
 def solve_lasso_batch(
     A, b, lam, Lf, tol, maxit=1000, use_kernel=True, interpret=False,
-    restart=False, x0=None,
+    restart=False, x0=None, mf=None,
 ):
     """Batched FISTA lasso solver with the fused Pallas step.
 
@@ -255,11 +255,25 @@ def solve_lasso_batch(
     usually far fewer iterations once a lane's active set settles and the
     problem turns locally strongly convex.  Off by default because the
     iteration-count parity tests pin the textbook sequence.
+
+    ``mf`` (static Python float > 0) runs the strongly-convex FISTA
+    variant: under the fixed stepsize the generic driver's
+    ``AdaptiveNesterovSequence(m=mf)`` coefficient is constant, so the
+    kernel draws the per-lane (beta1, beta_rest) pair by running the SAME
+    sequence ops (bit-faithful to the driver — f32 rounds step 1
+    differently from steps 2+, hence the pair) and skips the t-recursion.
+    Mutually exclusive with ``restart`` (resetting a constant sequence is
+    a no-op).
     """
     B, M, N = A.shape
     dtype = A.dtype
     gamma = (1.0 / Lf).astype(dtype)
     thr = (gamma * lam).astype(dtype)
+    if mf is not None and restart:
+        raise ValueError(
+            "restart needs the t-recursion; mf>0 uses a constant "
+            "extrapolation coefficient (restart would be a no-op)"
+        )
     step_fn = (
         partial(fused_fb_prox_grad, interpret=interpret)
         if use_kernel
@@ -276,9 +290,27 @@ def solve_lasso_batch(
     done0 = res0 / gamma <= tol
     t0 = jnp.ones((B,), dtype)
     t1 = (1 + jnp.sqrt(1 + 4 * t0 * t0)) / 2
+    beta_const = None
+    if mf is not None:
+        from ..accel.nesterov import AdaptiveNesterovSequence
+
+        seq = AdaptiveNesterovSequence(m=float(mf))
+
+        def _two_betas(g):
+            st = seq.init_state(jnp.zeros((), dtype))
+            b1, st = seq.next_coeff(st, g)
+            b2, _ = seq.next_coeff(st, g)
+            return b1, b2
+
+        beta1, beta_const = jax.vmap(_two_betas)(gamma)
+        # the mf>0 sequence has NO zero first coefficient: the generic
+        # driver extrapolates step 1 as z0 + beta1*(z0 - x0)
+        x_init = z0 + beta1[:, None] * (z0 - x0)
+    else:
+        x_init = z0
     init = (
         jnp.asarray(1, jnp.int32),
-        z0,
+        x_init,
         z0,
         t1,
         done0,
@@ -290,17 +322,20 @@ def solve_lasso_batch(
         return (k < maxit) & jnp.logical_not(jnp.all(done))
 
     body = _make_fista_body(A, b, gamma, thr, tol, use_kernel=use_kernel,
-                            interpret=interpret, restart=restart)
+                            interpret=interpret, restart=restart,
+                            beta_const=beta_const)
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
     return z, iters, done
 
 
 def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
-                     restart):
+                     restart, beta_const=None):
     """The one-iteration while-loop body over the carry
     ``(k, x, z_prev, t, done, iters)`` — shared by :func:`solve_lasso_batch`
-    and the compacting driver so the trajectories are bit-identical."""
+    and the compacting driver so the trajectories are bit-identical.
+    ``beta_const`` ((B,) array) replaces the t-recursion with a constant
+    per-lane extrapolation coefficient (the strongly-convex mf>0 path)."""
     dtype = A.dtype
 
     if use_kernel:
@@ -309,8 +344,11 @@ def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
         # XLA epilogue is (B,)-scalar bookkeeping only
         def body(c):
             k, x, z_prev, t, done, iters = c
-            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            beta = (t - 1) / t_new
+            if beta_const is not None:
+                beta, t_new = beta_const, t
+            else:
+                t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                beta = (t - 1) / t_new
             x_new, z, res, rs = fused_fista_full_step(
                 A, b, x, z_prev, beta, gamma, thr, done.astype(dtype),
                 interpret=interpret, restart=restart,
@@ -332,15 +370,19 @@ def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
         def body(c):
             k, x, z_prev, t, done, iters = c
             # FB step at the current extrapolated point, then Nesterov
-            # extrapolation with the simple t-sequence
+            # extrapolation with the simple t-sequence (or the constant
+            # strongly-convex coefficient)
             z, res = reference_fb_prox_grad(A, b, x, gamma, thr)
             if restart:
                 # immediate restart: reset t BEFORE drawing the
                 # coefficient (= AdaptiveRestartSequence semantics)
                 rs = jnp.sum((x - z) * (z - z_prev), axis=1)
                 t = jnp.where(rs > 0, jnp.ones_like(t), t)
-            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            beta = ((t - 1) / t_new)[:, None]
+            if beta_const is not None:
+                beta, t_new = beta_const[:, None], t
+            else:
+                t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                beta = ((t - 1) / t_new)[:, None]
             x_new = z + beta * (z - z_prev)
             newly_done = res / gamma <= tol
             keep = done[:, None]

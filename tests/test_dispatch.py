@@ -343,3 +343,51 @@ def test_restart_sequence_shared_a_routes_multirhs_k1():
     assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
     np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=1e-4)
     assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1
+
+
+def test_strongly_convex_mf_routes_to_kernel():
+    """mf > 0 (static scalar) rides the kernel as a constant extrapolation
+    coefficient: dispatch matches, per-lane counts track the generic
+    driver, and the mf route converges in fewer iterations than plain
+    FISTA (the whole point of the modulus)."""
+    from proxtpu.parallel.batch import batched_run_loop
+
+    rng = np.random.default_rng(13)
+    Bn, M_, N_ = 4, 40, 20  # tall A -> genuinely strongly convex
+    A = jnp.asarray((rng.standard_normal((Bn, M_, N_)) / np.sqrt(M_))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((Bn, M_)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(Bn)], jnp.float32)
+    mf = min(float(np.linalg.svd(np.asarray(A[i]),
+                                 compute_uv=False)[-1] ** 2)
+             for i in range(Bn))
+    kw = dict(x0=jnp.zeros((Bn, N_), jnp.float32),
+              f=LeastSquaresLoss(A, b), g=NormL1(lam), Lf=Lf, mf=mf)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=4000
+    ) is not None
+    fast = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=4000, tol=TOL)
+    xs_f, it_f, d_f = fast(**kw)
+    iteration = jax.vmap(
+        lambda Ai, bi, li, Li: make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N_, jnp.float32), f=LeastSquaresLoss(Ai, bi),
+            g=NormL1(li), gamma=1.0 / Li, mf=mf,
+        )
+    )(A, b, lam, Lf)
+    xs_s, it_s, d_s = batched_run_loop(iteration, 4000, TOL)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s), atol=1e-4)
+    assert int(np.max(np.abs(np.asarray(it_f) - np.asarray(it_s)))) <= 1
+    _, it_plain, _ = fast(**{k: v for k, v in kw.items() if k != "mf"})
+    assert float(np.mean(np.asarray(it_f))) < float(
+        np.mean(np.asarray(it_plain)))
+
+    # per-lane (array) mf falls back to the generic driver
+    kw_vec = dict(kw, mf=jnp.full((Bn,), mf, jnp.float32))
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw_vec, tol=TOL, maxit=4000
+    ) is None

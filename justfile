@@ -27,6 +27,9 @@ bench-paths:
 bench-tv:
     python benchmarks/tv_bench.py --repeat 5
 
+bench-shared:
+    python benchmarks/shared_bench.py
+
 scaling:
     python benchmarks/scaling.py --platform cpu
 

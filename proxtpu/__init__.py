@@ -39,6 +39,7 @@ from .prox.base import (
     value_and_gradient,
 )
 from .utils.precision import get_matmul_precision, set_matmul_precision
+from .utils.shared import Shared
 from .utils.fb_tools import (
     backtrack_stepsize,
     f_model,

@@ -88,7 +88,10 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
         return None
     B = x0.shape[0]
     # every array leaf of the stacked f/g must carry the batch axis
-    for leaf in jax.tree.leaves((f, g)):
+    # (leaves under a Shared marker are lane-invariant and exempt)
+    from ..utils.shared import lane_arrays
+
+    for leaf in lane_arrays((f, g)):
         shp = jnp.shape(leaf)
         if len(shp) == 0 or shp[0] != B:
             return None
@@ -156,7 +159,9 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     if x0.ndim != 2:
         return None
     B = x0.shape[0]
-    for leaf in jax.tree.leaves((f, g)):
+    from ..utils.shared import Shared, lane_arrays
+
+    for leaf in lane_arrays((f, g)):
         shp = jnp.shape(leaf)
         if len(shp) == 0 or shp[0] != B:
             return None
@@ -172,22 +177,34 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     ):
         return None
 
-    # the stacked linear operator: None -> identity; (B, m, n) array or a
-    # MatrixOperator holding one -> stacked matvec; anything else is out
-    from ..ops.linops import IdentityOperator, MatrixOperator
+    # the linear operator: None -> identity; (B, m, n) array or a
+    # MatrixOperator holding one -> stacked matvec; a Shared operator /
+    # (m, n) array -> lane-invariant matvec (one MXU matmul per trip);
+    # anything else is out
+    from ..ops.linops import IdentityOperator, MatrixOperator, as_linop
 
     A = kwargs.get("A")
     if A is None:
         Aop = IdentityOperator()
+    elif isinstance(A, Shared):
+        inner = as_linop(A).value  # Shared(as_linop(...)) unwrapped
+        if not hasattr(inner, "matvec"):
+            return None
+        Aop = Shared(inner)
     else:
         arr = A.A if isinstance(A, MatrixOperator) else A
         try:
             arr = jnp.asarray(arr)
         except Exception:
             return None
-        if arr.ndim != 3 or arr.shape[0] != B:
+        if arr.ndim == 2:
+            # a 2-D matrix is unambiguously lane-invariant (per-lane A is
+            # always 2-D here) — same convention as the multirhs kernel
+            Aop = Shared(MatrixOperator(arr))
+        elif arr.ndim == 3 and arr.shape[0] == B:
+            Aop = MatrixOperator(arr)
+        else:
             return None
-        Aop = MatrixOperator(arr)
 
     alpha = float(kwargs.get("alpha", 0.95))
     beta = float(kwargs.get("beta", 0.5))
@@ -229,7 +246,9 @@ def _match_flat_drls(kwargs, *, tol, maxit):
     if x0.ndim != 2:
         return None
     B = x0.shape[0]
-    for leaf in jax.tree.leaves((f, g)):
+    from ..utils.shared import lane_arrays
+
+    for leaf in lane_arrays((f, g)):
         shp = jnp.shape(leaf)
         if len(shp) == 0 or shp[0] != B:
             return None
@@ -481,12 +500,25 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
     if name == "make_fast_forward_backward_iteration":
         from ..prox.functions import LeastSquares, LeastSquaresLoss, NormL1
+        from ..utils.shared import Shared
 
+        # a Shared (lane-invariant) f is the regularization-path workload:
+        # one (A, b), per-lane lam — unwrap it and broadcast b so it routes
+        # to the shared-A MXU formulation below
+        if isinstance(f, Shared):
+            f = f.value
+        if isinstance(g, Shared):
+            g = g.value
         if not isinstance(f, (LeastSquares, LeastSquaresLoss)):
             return None
         if not isinstance(g, NormL1):
             return None
         A, b = jnp.asarray(f.A), jnp.asarray(f.b)
+        if A.ndim == 2 and b.ndim == 1:
+            try:
+                b = jnp.broadcast_to(b, (np.shape(x0)[0], b.shape[0]))
+            except Exception:
+                return None
 
         if A.ndim == 2 and b.ndim == 2:
             # shared design matrix, many right-hand sides -> the MXU-matmul

@@ -129,7 +129,15 @@ class Grad2DOperator:
 
 
 def as_linop(A):
-    """Coerce None / arrays / operators to the operator protocol."""
+    """Coerce None / arrays / operators to the operator protocol.
+
+    A :class:`~proxtpu.utils.shared.Shared`-marked operand stays marked:
+    the wrapper is re-applied outside the coercion so batched drivers keep
+    seeing the lane-invariant annotation."""
+    from ..utils.shared import Shared
+
+    if isinstance(A, Shared):
+        return Shared(as_linop(A.value))
     if A is None:
         return IdentityOperator()
     if hasattr(A, "matvec"):  # already an operator (may also carry .shape)

@@ -11,6 +11,7 @@ parallelism of any kind (SURVEY.md §2.6).  Three orthogonal axes:
   across devices, coupling through one mean collective per iteration.
 """
 
+from ..utils.shared import Shared, batch_axes, unwrap_shared
 from .adaptive_batch import (
     batched_adaptive_fb,
     batched_adaptive_fista,
@@ -52,6 +53,9 @@ from .sharded_kernels import (
 
 __all__ = [
     "BatchedAlgorithm",
+    "Shared",
+    "batch_axes",
+    "unwrap_shared",
     "batched_adaptive_fb",
     "batched_adaptive_fista",
     "batched_drls",

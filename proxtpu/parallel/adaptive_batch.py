@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..prox.base import prox, value_and_gradient
+from ..utils.shared import batch_axes
 from ..utils.tree import eps_of
 
 
@@ -70,8 +71,16 @@ def _flat_adaptive_run(
     dtype = x0.dtype
     eps = eps_of(x0)
 
-    vvg = _vor(lambda fi, u: value_and_gradient(fi, u))
-    vprox = _vor(lambda gi, u, gam: prox(gi, u, gam))
+    # Shared-marked f/g map with in_axes=None (lane-invariant data — e.g. a
+    # shared design matrix makes the batched gradient one MXU matmul)
+    vvg = jax.vmap(
+        lambda fi, u: value_and_gradient(fi, u),
+        in_axes=(batch_axes(f), 0),
+    )
+    vprox = jax.vmap(
+        lambda gi, u, gam: prox(gi, u, gam),
+        in_axes=(batch_axes(g), 0, 0),
+    )
 
     def candidates(x, grad, gamma):
         y = x - gamma[:, None] * grad
@@ -258,4 +267,4 @@ def _coldstart_gamma(f, x0):
             fi, IdentityOperator(), x, grad
         )
 
-    return jax.vmap(one)(f, x0)
+    return jax.vmap(one, in_axes=(batch_axes(f), 0))(f, x0)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.shared import Shared, batch_axes
+
 
 def stack_iterations(iterations):
     """Stack identically-structured iteration objects into one batched
@@ -54,8 +56,14 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     """
     if stop is None:
         stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
-    vstep = jax.vmap(lambda it, s: it.step(s))
-    vstop = jax.vmap(lambda it, s: stop(it, tol, s))
+    # Shared-marked problem data is lane-invariant: map it with
+    # in_axes=None so XLA sees the operand once (per-lane matvecs against a
+    # Shared operator lower to ONE (B,n)@(n,m) MXU matmul instead of a
+    # batched GEMV stream).  batch_axes depends only on the treedef, so it
+    # is trace-time static here.
+    it_axes = batch_axes(iteration)
+    vstep = jax.vmap(lambda it, s: it.step(s), in_axes=(it_axes, 0))
+    vstop = jax.vmap(lambda it, s: stop(it, tol, s), in_axes=(it_axes, 0))
     K = check_every
 
     def cond(carry):
@@ -92,9 +100,11 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
                      check_every=1):
     """Run a batched iteration until every lane converges (or maxit).
 
-    ``iteration`` is a stacked pytree (leading batch axis on every leaf —
-    broadcast shared data with ``jnp.broadcast_to`` or use
-    :func:`stack_iterations`).  Returns ``(solutions, iters, done)`` where
+    ``iteration`` is a stacked pytree (leading batch axis on every leaf).
+    Lane-invariant problem data should be wrapped in
+    :class:`~proxtpu.utils.shared.Shared` instead of being materially
+    stacked — a Shared operator's matvec lowers to one MXU matmul across
+    the whole batch.  Returns ``(solutions, iters, done)`` where
     ``iters[i]`` is the iteration count at which lane ``i`` converged
     (``maxit`` cap applies), matching the single-problem driver's count.
 
@@ -107,8 +117,11 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
     solution_ = solution or (lambda it, s: it.default_solution(s))
 
-    state = jax.vmap(lambda it: it.init())(iteration)
-    done0 = jax.vmap(lambda it, s: stop_(it, tol, s))(iteration, state)
+    it_axes = batch_axes(iteration)
+    state = jax.vmap(lambda it: it.init(), in_axes=(it_axes,))(iteration)
+    done0 = jax.vmap(
+        lambda it, s: stop_(it, tol, s), in_axes=(it_axes, 0)
+    )(iteration, state)
     B = done0.shape[0]
     k, state, done, iters = _chunk_loop(
         iteration, state, jnp.asarray(1, jnp.int32), done0,
@@ -116,20 +129,34 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
         check_every=check_every,
     )
     return (
-        jax.vmap(lambda it, s: solution_(it, s))(iteration, state),
+        jax.vmap(
+            lambda it, s: solution_(it, s), in_axes=(it_axes, 0)
+        )(iteration, state),
         iters,
         done,
     )
 
 
-_default_vinit = jax.jit(jax.vmap(lambda it: it.init()))
-_default_vstop = jax.jit(
-    jax.vmap(
-        lambda it, tol, s: it.default_stopping_criterion(tol, s),
-        in_axes=(0, None, 0),
-    )
-)
-_default_vsol = jax.jit(jax.vmap(lambda it, s: it.default_solution(s)))
+# axes are recomputed at trace time from the treedef (which keys the jit
+# cache), so Shared-containing iterations get their in_axes=None for free
+@jax.jit
+def _default_vinit(it):
+    return jax.vmap(lambda i: i.init(), in_axes=(batch_axes(it),))(it)
+
+
+@jax.jit
+def _default_vstop(it, tol, s):
+    return jax.vmap(
+        lambda i, t, u: i.default_stopping_criterion(t, u),
+        in_axes=(batch_axes(it), None, 0),
+    )(it, tol, s)
+
+
+@jax.jit
+def _default_vsol(it, s):
+    return jax.vmap(
+        lambda i, u: i.default_solution(u), in_axes=(batch_axes(it), 0)
+    )(it, s)
 
 
 def _bucket(n, min_batch):
@@ -153,10 +180,15 @@ def compacting_batched_run(
     """
     # module-level jitted defaults keep the compile cache stable across calls
     vsol = _default_vsol if solution is None else jax.jit(
-        jax.vmap(lambda it, s: solution(it, s))
+        lambda it, s: jax.vmap(
+            lambda i, u: solution(i, u), in_axes=(batch_axes(it), 0)
+        )(it, s)
     )
     vstop0 = _default_vstop if stop is None else jax.jit(
-        jax.vmap(lambda it, tol, s: stop(it, tol, s), in_axes=(0, None, 0))
+        lambda it, tol, s: jax.vmap(
+            lambda i, t, u: stop(i, t, u),
+            in_axes=(batch_axes(it), None, 0),
+        )(it, tol, s)
     )
 
     state = _default_vinit(iteration)
@@ -203,7 +235,12 @@ def compacting_batched_run(
         # so they freeze immediately and are never written back
         pad = np.concatenate([live, np.full(bucket - live.size, live[0])])
         take = lambda l: l[pad]
-        active_iter = jax.tree.map(take, active_iter)
+        # Shared subtrees are lane-invariant: they pass through compaction
+        # untouched (no batch axis to gather)
+        active_iter = jax.tree.map(
+            lambda l: l if isinstance(l, Shared) else take(l),
+            active_iter, is_leaf=lambda x: isinstance(x, Shared),
+        )
         active_state = jax.tree.map(take, active_state)
         iters = iters[pad]
         done = jnp.asarray(
@@ -351,12 +388,16 @@ class BatchedAlgorithm:
         # the leading axis the vmapped driver maps over (array kwargs must
         # already be stacked by the caller)
         B = jax.tree.leaves(merged["x0"])[0].shape[0]
+        # rank-0 hyperparameters gain the batch axis; leaves inside Shared
+        # subtrees stay lane-invariant (the vmapped driver maps them with
+        # in_axes=None)
         iteration = jax.tree.map(
             lambda l: (
-                jnp.broadcast_to(l, (B,) + jnp.shape(l))
+                l if isinstance(l, Shared)
+                else jnp.broadcast_to(l, (B,) + jnp.shape(l))
                 if jnp.ndim(l) == 0 else l
             ),
-            iteration,
+            iteration, is_leaf=lambda x: isinstance(x, Shared),
         )
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,

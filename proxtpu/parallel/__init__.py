@@ -49,6 +49,7 @@ from .sharded_kernels import (
     sharded_solve_lasso_batch,
     sharded_solve_lasso_batch_blocked,
     sharded_solve_lasso_multirhs,
+    sharded_solve_tv_batch,
 )
 
 __all__ = [
@@ -82,4 +83,5 @@ __all__ = [
     "sharded_solve_lasso_batch",
     "sharded_solve_lasso_batch_blocked",
     "sharded_solve_lasso_multirhs",
+    "sharded_solve_tv_batch",
 ]

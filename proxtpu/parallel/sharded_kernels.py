@@ -208,3 +208,61 @@ def sharded_solve_box_qp_batch(
         # every out is dp-sharded by construction
         check_vma=False,
     )(Q, q, Lip)
+
+
+def sharded_solve_tv_batch(
+    b, lam, tol, *, mesh, axis="dp", maxit=5000, iter_block=8,
+    gamma1=None, gamma2=None, use_kernel=True, interpret=False,
+    formulation="roll", x0=None, y0=None,
+):
+    """:func:`proxtpu.kernels.tv.solve_tv_batch` (fused Chambolle-Pock TV
+    denoiser) data-parallel over ``axis``: b (B, H, W) and a scalar or
+    per-image (B,) ``lam`` sharded on the batch dim, each device denoising
+    its own images with the packed kernel.
+
+    Per-image ``lam`` stays on the kernel exactly like the single-device
+    wrapper (inside shard_map the local lam is traced, so the
+    per-lane-plane path is always taken — same math, pinned by
+    ``tests/test_sharding.py``).  Stepsizes (``gamma1``/``gamma2``) must be
+    lane-uniform here; they ride the closure replicated.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.tv import solve_tv_batch
+
+    nd = _mesh_axis_size(mesh, axis)
+    if b.shape[0] % nd:
+        raise ValueError(
+            f"batch {b.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+    lam_v = jnp.broadcast_to(jnp.asarray(lam, b.dtype), (b.shape[0],))
+
+    body = partial(
+        solve_tv_batch, tol=tol, maxit=maxit, iter_block=iter_block,
+        gamma1=gamma1, gamma2=gamma2, use_kernel=use_kernel,
+        interpret=interpret, formulation=formulation,
+    )
+    args = [b, lam_v]
+    specs = [P(axis, None, None), P(axis)]
+    kw_names = []
+    if x0 is not None:
+        args.append(x0)
+        specs.append(P(axis, None, None))
+        kw_names.append("x0")
+    if y0 is not None:
+        args.append(y0)
+        specs.append(P(axis, None, None, None))
+        kw_names.append("y0")
+
+    def run(b_, l_, *rest):
+        return body(b_, l_, **dict(zip(kw_names, rest)))
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(axis, None, None), P(axis), P(axis)),
+        # pallas_call inside shard_map has no varying-mesh-axes annotation;
+        # every out is dp-sharded by construction
+        check_vma=False,
+    )(*args)

@@ -497,3 +497,43 @@ def test_batched_algorithm_routes_zerofpr_to_flat():
     np.testing.assert_allclose(
         np.asarray(zs), np.asarray(zg), rtol=0, atol=1e-8
     )
+
+
+@pytest.mark.parametrize("accel", ["anderson", "broyden"])
+def test_flat_panoc_alternative_quasi_newton(accel):
+    """Anderson / Broyden directions conform to the same
+    init_state/update/apply protocol as L-BFGS, so they ride the flat
+    machine too — per-lane count and solution parity with the single
+    driver (reference exercises the full accel matrix on the line-search
+    family, ``test_lasso_small.jl``/DRLS configs)."""
+    from proxtpu.accel.anderson import AndersonAcceleration
+    from proxtpu.accel.broyden import Broyden
+
+    directions = (
+        AndersonAcceleration(5) if accel == "anderson" else Broyden()
+    )
+    A, b, lam, Lf = problems(seed=2)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), 0.95 / Lf, TOL, maxit=1000,
+        directions=directions,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=1000, directions=directions)
+    # unlike L-BFGS (pure dot/axpy, exact parity), Anderson's pinv and
+    # Broyden's dense-H rank-1 updates lower differently batched vs single
+    # (batched-LAPACK rounding); the dense-H recursions amplify that
+    # chaotically, so trajectories genuinely diverge in LENGTH (Broyden:
+    # up to ~2x, measured) while converging to the same fixed point
+    # (solution gaps ~5e-7 at tol 1e-6) — assert the guarantees: both
+    # converged, same solution, count within a small multiple
+    for i in range(B):
+        x, it = solver(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                       g=NormL1(lam[i]), Lf=Lf[i], adaptive=False)
+        r = int(iters[i]) / it
+        assert 1 / 2.5 <= r <= 2.5, f"lane {i}: {it} vs {int(iters[i])}"
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=2e-5
+        )

@@ -331,3 +331,82 @@ def test_sharded_lasso_restart_and_warm_start(dp_mesh):
     assert bool(jnp.all(dm)) and bool(jnp.all(ds))
     assert int(np.max(np.abs(np.asarray(im) - np.asarray(is_)))) <= 1
     np.testing.assert_allclose(np.asarray(zm), np.asarray(zs), atol=1e-5)
+
+
+def test_sharded_tv_parity(dp_mesh):
+    """The fused TV/Chambolle-Pock kernel under shard_map (interpret mode
+    on the CPU mesh), per-image lam, matches the single-device solver."""
+    from proxtpu.kernels.tv import solve_tv_batch
+    from proxtpu.parallel import sharded_solve_tv_batch
+
+    rng = np.random.default_rng(6)
+    B, H, W = 8, 16, 16
+    b = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    lam = jnp.asarray((0.05 + 0.2 * rng.random(B)).astype(np.float32))
+    tol = 1e-3
+    x1, it1, d1 = solve_tv_batch(b, lam, tol, maxit=4000, iter_block=4,
+                                 use_kernel=False)
+    x8, it8, d8 = sharded_solve_tv_batch(
+        b, lam, tol, mesh=dp_mesh, maxit=4000, iter_block=4,
+        use_kernel=True, interpret=True,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    assert len(x8.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(it8), np.asarray(it1))
+
+
+def test_generic_driver_shared_operand_dp_sharded(dp_mesh):
+    """GSPMD composition of Shared with data parallelism: batched leaves
+    sharded over dp, the Shared design matrix replicated — the generic
+    driver's solutions must match the unsharded run exactly, with outputs
+    actually distributed."""
+    from jax.sharding import NamedSharding
+    from proxtpu.algorithms.fast_forward_backward import (
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.parallel import Shared, batched_run_loop
+    from proxtpu.prox import LeastSquaresLoss, NormL1
+
+    rng = np.random.default_rng(7)
+    B, M, N = 16, 24, 32
+    A = jnp.asarray((rng.standard_normal((M, N)) / np.sqrt(M)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+    lam = jnp.asarray((0.1 + 0.2 * rng.random(B)).astype(np.float32))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    iteration = make_fast_forward_backward_iteration(
+        x0=jnp.zeros((B, N), jnp.float32), f=Shared(LeastSquaresLoss(A, b)),
+        g=NormL1(lam), Lf=jnp.full((B,), Lf, jnp.float32),
+    )
+    # the rank-0 hyperparameter broadcast BatchedAlgorithm normally does
+    iteration = jax.tree.map(
+        lambda l: l if isinstance(l, Shared)
+        else jnp.broadcast_to(l, (B,) + jnp.shape(l))
+        if jnp.ndim(l) == 0 else l,
+        iteration, is_leaf=lambda x: isinstance(x, Shared),
+    )
+    xs1, it1, d1 = batched_run_loop(iteration, 3000, 1e-5)
+
+    dp = lambda *tail: NamedSharding(dp_mesh, P("dp", *tail))
+    repl = NamedSharding(dp_mesh, P())
+    sharded_iter = jax.tree.map(
+        lambda l: l if isinstance(l, Shared)
+        else jax.device_put(
+            l, dp(*([None] * (jnp.ndim(l) - 1))) if jnp.ndim(l) else repl
+        ),
+        iteration, is_leaf=lambda x: isinstance(x, Shared),
+    )
+    # replicate the Shared subtree's leaves explicitly
+    from proxtpu.parallel import unwrap_shared  # noqa: F401
+
+    sharded_iter = jax.tree.map(
+        lambda l: jax.device_put(l, repl)
+        if isinstance(l, jax.Array) and l.sharding.device_set != set(dp_mesh.devices.flat)
+        else l,
+        sharded_iter,
+    )
+    xs8, it8, d8 = batched_run_loop(sharded_iter, 3000, 1e-5)
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    assert len(xs8.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(xs8), np.asarray(xs1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(it8), np.asarray(it1))

@@ -317,3 +317,39 @@ def test_as_linop_keeps_shared_marker():
     assert isinstance(unwrap_shared(op), MatrixOperator)
     op2 = as_linop(Shared(MatrixOperator(A)))
     assert isinstance(op2, Shared)
+
+
+def test_batched_chambolle_pock_shared_L():
+    """The primal-dual family through the generic driver with a Shared
+    operator: batched CP solves the lasso dual formulation
+    ``min lam||x||_1 + 0.5||Lx - b||^2`` with ONE shared L and per-lane
+    lam, matching the single driver."""
+    from proxtpu.algorithms.primal_dual import (
+        ChambollePock,
+        make_chambolle_pock_iteration,
+    )
+
+    A, b, lam, _ = lasso_problem()
+    x0 = jnp.zeros((B, N))
+    y0 = jnp.zeros((B, M))
+    opn = float(np.linalg.norm(np.asarray(A), 2))
+    g1 = 0.9 / opn
+    solver = BatchedAlgorithm(
+        make_chambolle_pock_iteration, maxit=20000, tol=1e-5,
+        use_kernels=False,
+    )
+    (xs, ys), iters, done = solver(
+        x0=x0, y0=y0, g=NormL1(lam), h=Shared(SqrDistance(b)),
+        L=Shared(MatrixOperator(A)), gamma=(g1, g1),
+    )
+    assert bool(done.all())
+    single = ChambollePock(maxit=20000, tol=1e-5)
+    for i in range(B):
+        (x, y), it = single(
+            x0=jnp.zeros(N), y0=jnp.zeros(M), g=NormL1(lam[i]),
+            h=SqrDistance(b), L=A, gamma=(g1, g1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-6
+        )
+        assert abs(int(iters[i]) - it) <= 2

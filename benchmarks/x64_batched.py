@@ -1,0 +1,124 @@
+"""TPU measurement: BATCHED solves at reference-grade tolerances via x64.
+
+Round-3 established that ``jax_enable_x64`` reaches the reference's
+tol=1e-6 for every solver in the 10-solver matrix — but only measured
+single-problem solves.  This measures the *batched* paths under x64
+emulation on the real chip, which is what a user who needs reference
+tolerances at TPU throughput would actually run:
+
+* flagship lasso batch (256 x 200x400) — generic FISTA driver and flat
+  ZeroFPR at tol 1e-6 and 1e-8, x64 vs the f32 run at 1e-5;
+* the logistic lam-path (the measured f32 noise-floor case,
+  ``results_logistic.jsonl``) — flat ZeroFPR at tol 1e-6 in x64.
+
+The fused Pallas kernels are f32 by design (VPU-native); x64 runs take
+the pure-XLA paths (``use_kernels=False`` / the flat machines).
+
+Usage: python benchmarks/x64_batched.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+import proxtpu  # noqa: F401
+from proxtpu.algorithms.fast_forward_backward import (
+    make_fast_forward_backward_iteration,
+)
+from proxtpu.ops.linops import MatrixOperator
+from proxtpu.parallel import BatchedAlgorithm, Shared
+from proxtpu.parallel.flat_ls import batched_zerofpr
+from proxtpu.prox import LeastSquaresLoss, LogisticLoss, NormL1, SqrDistance, Translate
+
+M, N, BATCH = 200, 400, 256
+
+
+def timed(tag, run, reps):
+    t0 = time.perf_counter()
+    out = run()
+    np.asarray(out[0])
+    t_compile = time.perf_counter() - t0
+    iters = np.asarray(out[1])
+    done = np.asarray(out[2])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    rec = {
+        "variant": tag,
+        "problems_per_sec": BATCH / med,
+        "median_s": med,
+        "compile_s": t_compile,
+        "all_done": bool(done.all()),
+        "done_frac": float(done.mean()),
+        "iters_median": int(np.median(iters)),
+        "iters_max": int(iters.max()),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    reps = 2 if "--quick" in sys.argv else 3
+    print(json.dumps({"devices": [str(d) for d in jax.devices()],
+                      "x64": True}), flush=True)
+
+    # --- lasso lam-path, shared (A, b)
+    rng = np.random.default_rng(0)
+    for dt, tag in ((np.float64, "f64"), (np.float32, "f32")):
+        A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), dt)
+        b = jnp.asarray(rng.standard_normal(M), dt)
+        lam_max = float(np.max(np.abs(np.asarray(A).T @ np.asarray(b))))
+        lams = jnp.asarray(
+            lam_max * np.logspace(np.log10(0.02), np.log10(0.5), BATCH), dt
+        )
+        Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+        x0 = jnp.zeros((BATCH, N), dt)
+        gamma = jnp.full((BATCH,), 0.95 / Lf, dt)
+        tols = (1e-6, 1e-8) if dt == np.float64 else (1e-5,)
+        for tol in tols:
+            gen = BatchedAlgorithm(
+                make_fast_forward_backward_iteration, maxit=20000, tol=tol,
+                use_kernels=False, check_every=8,
+            )
+            timed(f"lasso_generic_fista_{tag}_tol{tol:g}", lambda: gen(
+                x0=x0, f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams),
+                Lf=Lf), reps)
+            timed(f"lasso_flat_zerofpr_{tag}_tol{tol:g}",
+                  lambda: batched_zerofpr(
+                      Shared(SqrDistance(b)), Shared(MatrixOperator(A)),
+                      NormL1(lams), x0, gamma, tol, maxit=5000), reps)
+
+    # --- logistic lam-path at tol 1e-6 in f64 (f32 noise floor ~2e-3)
+    A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), np.float64)
+    b = jnp.asarray(rng.standard_normal(M), np.float64)
+    lam_max = float(np.max(np.abs(
+        np.asarray(A).T @ (1 / (1 + np.exp(np.asarray(b))) - 1))))
+    lams = jnp.asarray(
+        lam_max * np.logspace(np.log10(0.05), np.log10(0.5), BATCH),
+        np.float64,
+    )
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2) / 4
+    f_log = Translate(LogisticLoss(1.0), -b)
+    gamma = jnp.full((BATCH,), 0.95 / Lf, np.float64)
+    timed("logistic_flat_zerofpr_f64_tol1e-06", lambda: batched_zerofpr(
+        Shared(f_log), Shared(MatrixOperator(A)), NormL1(lams),
+        jnp.zeros((BATCH, N), np.float64), gamma, 1e-6, maxit=5000), reps)
+
+
+if __name__ == "__main__":
+    main()

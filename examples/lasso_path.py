@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from proxtpu.algorithms import make_fast_forward_backward_iteration
-from proxtpu.parallel import batched_run_loop
+from proxtpu.parallel import Shared, batched_run_loop
 from proxtpu.prox import LeastSquaresLoss, NormL1
 
 
@@ -37,15 +37,16 @@ def main():
     )
     Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
 
-    # one iteration object per lambda, same data — stacked by vmap
-    iteration = jax.vmap(
-        lambda lam: make_fast_forward_backward_iteration(
-            x0=jnp.zeros(n, jnp.float32),
-            f=LeastSquaresLoss(A, b),
-            g=NormL1(lam),
-            gamma=1.0 / Lf,
-        )
-    )(lams)
+    # the data is IDENTICAL across the path, so mark it Shared — the
+    # batched driver maps it with in_axes=None and every per-lambda
+    # matvec runs as one MXU matmul (9.7x over stacking copies, measured
+    # at the flagship shape; see docs/tpu_scaling.md)
+    iteration = make_fast_forward_backward_iteration(
+        x0=jnp.zeros((lams.shape[0], n), jnp.float32),
+        f=Shared(LeastSquaresLoss(A, b)),
+        g=NormL1(lams),
+        gamma=jnp.full((lams.shape[0],), 1.0 / Lf, jnp.float32),
+    )
 
     xs, iters, done = batched_run_loop(iteration, maxit=5000, tol=1e-5)
     nnz = jnp.sum(jnp.abs(xs) > 1e-6, axis=1)

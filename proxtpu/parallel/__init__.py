@@ -26,6 +26,7 @@ from .batch import (
     BatchedAlgorithm,
     batch_problems,
     batched_run_loop,
+    broadcast_hyperparams,
     compacting_batched_run,
     stack_iterations,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "batched_zerofpr",
     "batch_problems",
     "batched_run_loop",
+    "broadcast_hyperparams",
     "compacting_batched_run",
     "stack_iterations",
     "ConsensusADMM",

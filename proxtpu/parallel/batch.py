@@ -30,6 +30,31 @@ def stack_iterations(iterations):
     return jax.tree.map(lambda *ls: jnp.stack(ls), *iterations)
 
 
+def broadcast_hyperparams(iteration):
+    """Give rank-0 leaves (factory-materialized hyperparameters like
+    ``gamma``/``alpha``) the leading batch axis the vmapped drivers map
+    over; leaves under a Shared marker stay lane-invariant.  No-op when
+    every leaf already carries the batch axis.  The batch size comes from
+    the first non-Shared array leaf."""
+    B = None
+    for leaf in jax.tree.leaves(
+        iteration, is_leaf=lambda x: isinstance(x, Shared)
+    ):
+        if not isinstance(leaf, Shared) and jnp.ndim(leaf) > 0:
+            B = jnp.shape(leaf)[0]
+            break
+    if B is None:
+        return iteration
+    return jax.tree.map(
+        lambda l: (
+            l if isinstance(l, Shared)
+            else jnp.broadcast_to(l, (B,) + jnp.shape(l))
+            if jnp.ndim(l) == 0 else l
+        ),
+        iteration, is_leaf=lambda x: isinstance(x, Shared),
+    )
+
+
 def _freeze(done, old, new):
     """Per-lane select: lanes with done=True keep their old state."""
     def sel(o, n):
@@ -117,6 +142,7 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
     solution_ = solution or (lambda it, s: it.default_solution(s))
 
+    iteration = broadcast_hyperparams(iteration)
     it_axes = batch_axes(iteration)
     state = jax.vmap(lambda it: it.init(), in_axes=(it_axes,))(iteration)
     done0 = jax.vmap(
@@ -191,6 +217,7 @@ def compacting_batched_run(
         )(it, tol, s)
     )
 
+    iteration = broadcast_hyperparams(iteration)
     state = _default_vinit(iteration)
     done = vstop0(iteration, tol, state)
     B = done.shape[0]
@@ -387,18 +414,10 @@ class BatchedAlgorithm:
         # rank-0 leaves; broadcast them across the batch so every leaf has
         # the leading axis the vmapped driver maps over (array kwargs must
         # already be stacked by the caller)
-        B = jax.tree.leaves(merged["x0"])[0].shape[0]
         # rank-0 hyperparameters gain the batch axis; leaves inside Shared
         # subtrees stay lane-invariant (the vmapped driver maps them with
         # in_axes=None)
-        iteration = jax.tree.map(
-            lambda l: (
-                l if isinstance(l, Shared)
-                else jnp.broadcast_to(l, (B,) + jnp.shape(l))
-                if jnp.ndim(l) == 0 else l
-            ),
-            iteration, is_leaf=lambda x: isinstance(x, Shared),
-        )
+        iteration = broadcast_hyperparams(iteration)
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
             solution=self.solution, check_every=self.check_every,

@@ -26,7 +26,24 @@ from ..utils.shared import Shared, batch_axes
 
 def stack_iterations(iterations):
     """Stack identically-structured iteration objects into one batched
-    iteration (leaves gain a leading batch axis; static fields must agree)."""
+    iteration (leaves gain a leading batch axis; static fields must agree).
+
+    Shared-marked subtrees cannot be stacked: stacking B copies inside a
+    Shared wrapper would batch data the drivers then treat as
+    lane-invariant.  Build the batched iteration through one factory call
+    with stacked kwargs (or :class:`BatchedAlgorithm`) instead."""
+    for it in iterations:
+        if any(
+            isinstance(n, Shared)
+            for n in jax.tree.leaves(
+                it, is_leaf=lambda x: isinstance(x, Shared)
+            )
+        ):
+            raise ValueError(
+                "stack_iterations cannot stack Shared-marked problem data; "
+                "call the factory once with stacked kwargs and keep the "
+                "Shared operand outside the stack (see BatchedAlgorithm)"
+            )
     return jax.tree.map(lambda *ls: jnp.stack(ls), *iterations)
 
 

@@ -353,3 +353,23 @@ def test_batched_chambolle_pock_shared_L():
             np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-6
         )
         assert abs(int(iters[i]) - it) <= 2
+
+
+def test_shared_pickles_and_refuses_stacking():
+    """Checkpointing serializes iteration pytrees (utils/checkpoint.py), so
+    Shared must pickle/deepcopy; and stack_iterations must refuse Shared
+    members (stacking B copies inside the wrapper would batch data the
+    drivers then treat as lane-invariant)."""
+    import copy
+    import pickle
+
+    from proxtpu.parallel import stack_iterations
+
+    A, b, _, _ = lasso_problem()
+    s = Shared(LeastSquaresLoss(A, b))
+    s2 = pickle.loads(pickle.dumps(s))
+    assert isinstance(s2, Shared)
+    np.testing.assert_array_equal(np.asarray(s2.A), np.asarray(A))
+    assert isinstance(copy.deepcopy(s), Shared)
+    with pytest.raises(ValueError, match="Shared"):
+        stack_iterations([{"f": s}, {"f": s}])

@@ -89,6 +89,24 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
             return sharded_solve_lasso_multirhs(
                 A1, b, lam, Lf1, tol, mesh=mesh, maxit=maxit, iter_block=8,
             )
+    elif path == "shared":
+        # Shared (lane-invariant) operand through the GENERIC driver under
+        # plain GSPMD: lanes dp-sharded, the one design matrix replicated —
+        # no shard_map, no kernel; XLA partitions the in_axes=None vmap
+        from proxtpu.algorithms import make_fast_forward_backward_iteration
+        from proxtpu.parallel import Shared, batched_run_loop
+        from proxtpu.prox import LeastSquaresLoss, NormL1
+
+        A1 = jnp.asarray(As[0])
+        Lf1 = float(np.linalg.norm(As[0], 2) ** 2)
+        iteration = make_fast_forward_backward_iteration(
+            x0=shard(np.zeros((B, n), As.dtype), P("dp", None)),
+            f=Shared(LeastSquaresLoss(A1, jnp.asarray(bs[0]))),
+            g=NormL1(lam), Lf=Lf,
+        )
+
+        def run():
+            return batched_run_loop(iteration, maxit, tol, check_every=8)
     else:
         def run():
             return solve_lasso_batch(
@@ -131,10 +149,12 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument(
         "--path", default="generic",
-        choices=["generic", "kernel", "blocked", "multirhs"],
+        choices=["generic", "kernel", "blocked", "multirhs", "shared"],
         help="solver formulation: generic pure-XLA batched step, fused "
-             "one-step kernel, K-blocked VMEM-resident kernel, or the "
-             "shared-A MXU multirhs solve — all dp-sharded via shard_map",
+             "one-step kernel, K-blocked VMEM-resident kernel, the "
+             "shared-A MXU multirhs solve (all dp-sharded via shard_map), "
+             "or the generic driver with a Shared operand under plain "
+             "GSPMD (lanes dp-sharded, operand replicated)",
     )
     args = ap.parse_args()
 

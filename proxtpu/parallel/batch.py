@@ -81,9 +81,9 @@ def _freeze(done, old, new):
     return jax.tree.map(sel, old, new)
 
 
-@partial(jax.jit, static_argnames=("stop", "check_every"))
+@partial(jax.jit, static_argnames=("stop", "check_every", "verbose", "freq"))
 def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
-                stop=None, check_every=1):
+                stop=None, check_every=1, verbose=False, freq=100):
     """Advance a batch up to ``chunk`` iterations (or all-done/maxit) with
     per-lane freezing — the one shared core of both batched drivers.
 
@@ -128,7 +128,20 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
         k = k + K
         newly_done = vstop(iteration, s)
         iters = jnp.where(done, iters, k)
-        return (k, s, done | newly_done, iters)
+        done = done | newly_done
+        if verbose:
+            # batched analogue of the reference's per-freq display rows
+            # (``ProximalAlgorithms.jl:118-121``): progress is the number
+            # of converged lanes, printed from inside the jitted loop
+            jax.lax.cond(
+                k % freq < K,
+                lambda: jax.debug.print(
+                    "{:6d} | {:6d}/%d lanes converged" % done.shape[0],
+                    k, jnp.sum(done),
+                ),
+                lambda: None,
+            )
+        return (k, s, done, iters)
 
     k, state, done, iters = jax.lax.while_loop(
         cond, body, (k0, state, done, iters)
@@ -137,9 +150,10 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     return k, state, done, iters
 
 
-@partial(jax.jit, static_argnames=("stop", "solution", "check_every"))
+@partial(jax.jit, static_argnames=("stop", "solution", "check_every",
+                                   "verbose", "freq"))
 def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
-                     check_every=1):
+                     check_every=1, verbose=False, freq=100):
     """Run a batched iteration until every lane converges (or maxit).
 
     ``iteration`` is a stacked pytree (leading batch axis on every leaf).
@@ -169,7 +183,7 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     k, state, done, iters = _chunk_loop(
         iteration, state, jnp.asarray(1, jnp.int32), done0,
         jnp.ones((B,), jnp.int32), maxit, maxit, tol, stop=stop,
-        check_every=check_every,
+        check_every=check_every, verbose=verbose, freq=freq,
     )
     return (
         jax.vmap(
@@ -346,6 +360,12 @@ class BatchedAlgorithm:
 
     Non-batched kwargs are broadcast by the factory itself when scalar.
 
+    ``verbose=True`` prints a progress row every ``freq`` iterations
+    (iteration count + converged-lane count, via ``jax.debug.print``) —
+    the batched analogue of the reference driver's verbose/freq contract;
+    it forces the generic driver (the kernel fast paths have no display
+    hook).
+
     ``use_kernels="auto"`` (default) routes recognized problem shapes —
     batched lasso FISTA and batched box-QP projected gradient with all
     options at defaults — to the fused Pallas kernel solvers
@@ -358,7 +378,7 @@ class BatchedAlgorithm:
 
     def __init__(self, iteration_factory, *, maxit, tol, stop=None,
                  solution=None, use_kernels="auto", check_every=1,
-                 **kwargs):
+                 verbose=False, freq=100, **kwargs):
         self.iteration_factory = iteration_factory
         self.maxit = maxit
         self.tol = tol
@@ -372,6 +392,12 @@ class BatchedAlgorithm:
         # rounded to block boundaries; the kernel fast paths ignore it
         # (they have their own iter_block policy).
         self.check_every = check_every
+        # batched analogue of the reference's verbose/freq contract: a
+        # per-freq progress row (converged-lane count) from the generic
+        # driver; the kernel fast paths have no display hook, so verbose
+        # also disables kernel routing
+        self.verbose = verbose
+        self.freq = freq
         self.kwargs = kwargs
 
     def __call__(self, **kwargs):
@@ -390,7 +416,7 @@ class BatchedAlgorithm:
                 params = {}
             if "backtrack_limit" in params:
                 merged["backtrack_limit"] = _default_backtrack_limit(merged)
-        if self.use_kernels:
+        if self.use_kernels and not self.verbose:
             from ..kernels.dispatch import (
                 match_flat_adaptive,
                 match_flat_linesearch,
@@ -438,6 +464,7 @@ class BatchedAlgorithm:
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
             solution=self.solution, check_every=self.check_every,
+            verbose=self.verbose, freq=self.freq,
         )
 
 

@@ -77,3 +77,33 @@ def test_verbose_sfista(capfd):
     x, it = solver(x0=x0, f=fA, g=g, Lf=Lf)
     out = capfd.readouterr()
     assert "|" in out.out or "|" in out.err
+
+
+def test_verbose_batched_driver(capfd):
+    """The batched driver's verbose contract: per-freq progress rows
+    (converged-lane counts) printed from inside the jitted loop — the
+    batched analogue of the reference's display
+    (``ProximalAlgorithms.jl:118-121``)."""
+    from proxtpu.algorithms.fast_forward_backward import (
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.parallel import BatchedAlgorithm, Shared
+    from proxtpu.prox import LeastSquaresLoss
+
+    A, b, fA, g, Lf, x0 = setup()
+    solver = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=1000, tol=1e-6,
+        verbose=True, freq=20,
+    )
+    lam = 0.1 * float(jnp.max(jnp.abs(A.conj().T @ b)))
+    xs, iters, done = solver(
+        x0=jnp.zeros((3,) + x0.shape, x0.dtype),
+        f=Shared(LeastSquaresLoss(A, b)),
+        g=NormL1(jnp.asarray([lam, 2 * lam, 4 * lam])),
+        Lf=Lf,
+    )
+    jnp.asarray(xs).block_until_ready()
+    out = capfd.readouterr().out
+    assert bool(done.all())
+    assert "lanes converged" in out
+    assert "/3" in out

@@ -47,6 +47,11 @@ from proxtpu.parallel import BatchedAlgorithm, Shared
 from proxtpu.parallel.flat_ls import batched_panoc, batched_zerofpr
 from proxtpu.prox import LogisticLoss, NormL1, Translate
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed_solve  # noqa: E402
+
 M, N = 200, 400
 BATCH = 256
 TOL = 1e-5
@@ -69,30 +74,10 @@ def gen_problem():
 
 
 def timed(tag, run, reps):
-    t0 = time.perf_counter()
-    out = run()
-    np.asarray(out[0])
-    t_compile = time.perf_counter() - t0
-    iters = np.asarray(out[1])
-    done = np.asarray(out[2])
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run()
-        np.asarray(out[0])
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    rec = {
-        "variant": tag,
-        "problems_per_sec": BATCH / med,
-        "median_s": med,
-        "compile_s": t_compile,
-        "all_done": bool(done.all()),
-        "iters_median": int(np.median(iters)),
-        "iters_max": int(iters.max()),
-    }
+    sol, rec = timed_solve(run, reps, BATCH)
+    rec = {"variant": tag, **rec}
     print(json.dumps(rec), flush=True)
-    return np.asarray(out[0]), rec
+    return sol, rec
 
 
 def main():

@@ -102,7 +102,7 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
         iteration = make_fast_forward_backward_iteration(
             x0=shard(np.zeros((B, n), As.dtype), P("dp", None)),
             f=Shared(LeastSquaresLoss(A1, jnp.asarray(bs[0]))),
-            g=NormL1(lam), Lf=Lf,
+            g=NormL1(lam), Lf=Lf1,
         )
 
         def run():

@@ -39,6 +39,11 @@ from proxtpu.parallel import BatchedAlgorithm, Shared
 from proxtpu.parallel.flat_ls import batched_panoc, batched_zerofpr
 from proxtpu.prox import LeastSquaresLoss, NormL1, SqrDistance
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed_solve  # noqa: E402
+
 M, N = 200, 400
 BATCH = 256
 TOL = 1e-5
@@ -59,32 +64,10 @@ def gen_problem():
 
 
 def timed(tag, run, reps):
-    t0 = time.perf_counter()
-    out = run()
-    np.asarray(out[0])  # host transfer is the only reliable fence here
-    t_compile = time.perf_counter() - t0
-    iters = np.asarray(out[1])
-    done = np.asarray(out[2])
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run()
-        np.asarray(out[0])
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    lo, hi = np.percentile(times, [25, 75])
-    rec = {
-        "variant": tag,
-        "problems_per_sec": BATCH / med,
-        "median_s": med,
-        "iqr_s": [float(lo), float(hi)],
-        "compile_s": t_compile,
-        "all_done": bool(done.all()),
-        "iters_median": int(np.median(iters)),
-        "iters_max": int(iters.max()),
-    }
+    sol, rec = timed_solve(run, reps, BATCH)
+    rec = {"variant": tag, **rec}
     print(json.dumps(rec), flush=True)
-    return np.asarray(out[0]), rec
+    return sol, rec
 
 
 def main():
@@ -111,7 +94,6 @@ def main():
     Aop_shared = Shared(MatrixOperator(A))
     Aop_stacked = MatrixOperator(A_st)
 
-    results = {}
 
     def pair(name, run_shared, run_stacked):
         if only and name not in only:
@@ -126,7 +108,6 @@ def main():
             "max_abs_solution_gap": gap,
         }
         print(json.dumps(rec), flush=True)
-        results[name] = rec
 
     pair(
         "flat_zerofpr",

@@ -43,12 +43,8 @@ import jax
 import jax.numpy as jnp
 
 from ..prox.base import prox, value_and_gradient
-from ..utils.shared import batch_axes
+from ..utils.shared import batch_axes, unwrap_shared
 from ..utils.tree import eps_of
-
-
-def _vor(fn):
-    return jax.vmap(fn)
 
 
 @partial(
@@ -74,11 +70,11 @@ def _flat_adaptive_run(
     # Shared-marked f/g map with in_axes=None (lane-invariant data — e.g. a
     # shared design matrix makes the batched gradient one MXU matmul)
     vvg = jax.vmap(
-        lambda fi, u: value_and_gradient(fi, u),
+        lambda fi, u: value_and_gradient(unwrap_shared(fi), u),
         in_axes=(batch_axes(f), 0),
     )
     vprox = jax.vmap(
-        lambda gi, u, gam: prox(gi, u, gam),
+        lambda gi, u, gam: prox(unwrap_shared(gi), u, gam),
         in_axes=(batch_axes(g), 0, 0),
     )
 
@@ -262,6 +258,7 @@ def _coldstart_gamma(f, x0):
     from ..utils.fb_tools import lower_bound_smoothness_constant
 
     def one(fi, x):
+        fi = unwrap_shared(fi)
         _, grad = value_and_gradient(fi, x)
         return 1.0 / lower_bound_smoothness_constant(
             fi, IdentityOperator(), x, grad

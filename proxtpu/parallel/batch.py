@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.shared import Shared, batch_axes
+from ..utils.shared import Shared, batch_axes, unwrap_shared
 
 
 def stack_iterations(iterations):
@@ -32,6 +32,7 @@ def stack_iterations(iterations):
     Shared wrapper would batch data the drivers then treat as
     lane-invariant.  Build the batched iteration through one factory call
     with stacked kwargs (or :class:`BatchedAlgorithm`) instead."""
+    iterations = list(iterations)  # accept generators; guard loop below
     for it in iterations:
         if any(
             isinstance(n, Shared)
@@ -48,27 +49,46 @@ def stack_iterations(iterations):
 
 
 def broadcast_hyperparams(iteration):
-    """Give rank-0 leaves (factory-materialized hyperparameters like
-    ``gamma``/``alpha``) the leading batch axis the vmapped drivers map
-    over; leaves under a Shared marker stay lane-invariant.  No-op when
-    every leaf already carries the batch axis.  The batch size comes from
-    the first non-Shared array leaf."""
+    """Normalize a batched iteration's leaves against the batch axis.
+
+    * rank-0 leaves (factory-materialized hyperparameters like
+      ``gamma``/``alpha``) are broadcast to ``(B,)``;
+    * rank>=1 leaves whose leading dimension is NOT the batch size are
+      wrapped in :class:`Shared` — the same lane-invariant convention the
+      kernel dispatch applies to a bare 2-D ``A`` — so an unstacked operand
+      (a shared design matrix, per-coordinate ``lam`` weights, ...) rides
+      ``in_axes=None`` instead of crashing the vmap;
+    * leaves already under a Shared marker stay untouched.
+
+    The batch size comes from ``iteration.x0`` (always stacked ``(B, ...)``)
+    when present, else the first non-Shared array leaf.  A lane-invariant
+    leaf whose leading dim *coincidentally* equals B is indistinguishable
+    from a stacked one — wrap it in ``Shared`` explicitly to disambiguate."""
     B = None
-    for leaf in jax.tree.leaves(
-        iteration, is_leaf=lambda x: isinstance(x, Shared)
-    ):
-        if not isinstance(leaf, Shared) and jnp.ndim(leaf) > 0:
-            B = jnp.shape(leaf)[0]
-            break
+    x0 = getattr(iteration, "x0", None)
+    if x0 is not None and not isinstance(x0, Shared) and jnp.ndim(x0) > 0:
+        B = jnp.shape(x0)[0]
+    if B is None:
+        for leaf in jax.tree.leaves(
+            iteration, is_leaf=lambda x: isinstance(x, Shared)
+        ):
+            if not isinstance(leaf, Shared) and jnp.ndim(leaf) > 0:
+                B = jnp.shape(leaf)[0]
+                break
     if B is None:
         return iteration
+
+    def fix(l):
+        if isinstance(l, Shared):
+            return l
+        if jnp.ndim(l) == 0:
+            return jnp.broadcast_to(l, (B,))
+        if jnp.shape(l)[0] != B:
+            return Shared(l)
+        return l
+
     return jax.tree.map(
-        lambda l: (
-            l if isinstance(l, Shared)
-            else jnp.broadcast_to(l, (B,) + jnp.shape(l))
-            if jnp.ndim(l) == 0 else l
-        ),
-        iteration, is_leaf=lambda x: isinstance(x, Shared),
+        fix, iteration, is_leaf=lambda x: isinstance(x, Shared)
     )
 
 
@@ -102,10 +122,15 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     # in_axes=None so XLA sees the operand once (per-lane matvecs against a
     # Shared operator lower to ONE (B,n)@(n,m) MXU matmul instead of a
     # batched GEMV stream).  batch_axes depends only on the treedef, so it
-    # is trace-time static here.
+    # is trace-time static here.  unwrap_shared strips per-leaf Shared
+    # markers inside the lane functions: vmap passes Shared nodes through
+    # unbatched, and a Shared-wrapped raw array must be a plain array by
+    # the time the iteration's math touches it.
     it_axes = batch_axes(iteration)
-    vstep = jax.vmap(lambda it, s: it.step(s), in_axes=(it_axes, 0))
-    vstop = jax.vmap(lambda it, s: stop(it, tol, s), in_axes=(it_axes, 0))
+    vstep = jax.vmap(lambda it, s: unwrap_shared(it).step(s),
+                     in_axes=(it_axes, 0))
+    vstop = jax.vmap(lambda it, s: stop(unwrap_shared(it), tol, s),
+                     in_axes=(it_axes, 0))
     K = check_every
 
     def cond(carry):
@@ -175,9 +200,11 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
 
     iteration = broadcast_hyperparams(iteration)
     it_axes = batch_axes(iteration)
-    state = jax.vmap(lambda it: it.init(), in_axes=(it_axes,))(iteration)
+    state = jax.vmap(
+        lambda it: unwrap_shared(it).init(), in_axes=(it_axes,)
+    )(iteration)
     done0 = jax.vmap(
-        lambda it, s: stop_(it, tol, s), in_axes=(it_axes, 0)
+        lambda it, s: stop_(unwrap_shared(it), tol, s), in_axes=(it_axes, 0)
     )(iteration, state)
     B = done0.shape[0]
     k, state, done, iters = _chunk_loop(
@@ -187,7 +214,8 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     )
     return (
         jax.vmap(
-            lambda it, s: solution_(it, s), in_axes=(it_axes, 0)
+            lambda it, s: solution_(unwrap_shared(it), s),
+            in_axes=(it_axes, 0),
         )(iteration, state),
         iters,
         done,
@@ -198,13 +226,15 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
 # cache), so Shared-containing iterations get their in_axes=None for free
 @jax.jit
 def _default_vinit(it):
-    return jax.vmap(lambda i: i.init(), in_axes=(batch_axes(it),))(it)
+    return jax.vmap(
+        lambda i: unwrap_shared(i).init(), in_axes=(batch_axes(it),)
+    )(it)
 
 
 @jax.jit
 def _default_vstop(it, tol, s):
     return jax.vmap(
-        lambda i, t, u: i.default_stopping_criterion(t, u),
+        lambda i, t, u: unwrap_shared(i).default_stopping_criterion(t, u),
         in_axes=(batch_axes(it), None, 0),
     )(it, tol, s)
 
@@ -212,7 +242,8 @@ def _default_vstop(it, tol, s):
 @jax.jit
 def _default_vsol(it, s):
     return jax.vmap(
-        lambda i, u: i.default_solution(u), in_axes=(batch_axes(it), 0)
+        lambda i, u: unwrap_shared(i).default_solution(u),
+        in_axes=(batch_axes(it), 0),
     )(it, s)
 
 
@@ -238,12 +269,13 @@ def compacting_batched_run(
     # module-level jitted defaults keep the compile cache stable across calls
     vsol = _default_vsol if solution is None else jax.jit(
         lambda it, s: jax.vmap(
-            lambda i, u: solution(i, u), in_axes=(batch_axes(it), 0)
+            lambda i, u: solution(unwrap_shared(i), u),
+            in_axes=(batch_axes(it), 0),
         )(it, s)
     )
     vstop0 = _default_vstop if stop is None else jax.jit(
         lambda it, tol, s: jax.vmap(
-            lambda i, t, u: stop(i, t, u),
+            lambda i, t, u: stop(unwrap_shared(i), t, u),
             in_axes=(batch_axes(it), None, 0),
         )(it, tol, s)
     )
@@ -453,14 +485,7 @@ class BatchedAlgorithm:
             if run is not None:
                 return run()
         iteration = self.iteration_factory(**merged)
-        # the factory materializes hyperparameters (alpha, gamma, ...) as
-        # rank-0 leaves; broadcast them across the batch so every leaf has
-        # the leading axis the vmapped driver maps over (array kwargs must
-        # already be stacked by the caller)
-        # rank-0 hyperparameters gain the batch axis; leaves inside Shared
-        # subtrees stay lane-invariant (the vmapped driver maps them with
-        # in_axes=None)
-        iteration = broadcast_hyperparams(iteration)
+        # batched_run_loop broadcasts rank-0 hyperparameters itself
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
             solution=self.solution, check_every=self.check_every,

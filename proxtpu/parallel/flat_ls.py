@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..prox.base import is_generalized_quadratic, prox, value_and_gradient
-from ..utils.shared import batch_axes
+from ..utils.shared import batch_axes, unwrap_shared
 from ..utils.tree import eps_of
 
 
@@ -81,13 +81,19 @@ def _make_vmapped(f, A, g, directions):
     # matmul instead of a batched GEMV stream
     ax_f, ax_A, ax_g = batch_axes(f), batch_axes(A), batch_axes(g)
     vvg = jax.vmap(
-        lambda fi, u: value_and_gradient(fi, u), in_axes=(ax_f, 0)
+        lambda fi, u: value_and_gradient(unwrap_shared(fi), u),
+        in_axes=(ax_f, 0),
     )
     vprox = jax.vmap(
-        lambda gi, u, gam: prox(gi, u, gam), in_axes=(ax_g, 0, 0)
+        lambda gi, u, gam: prox(unwrap_shared(gi), u, gam),
+        in_axes=(ax_g, 0, 0),
     )
-    vmv = jax.vmap(lambda Ai, v: Ai.matvec(v), in_axes=(ax_A, 0))
-    vrmv = jax.vmap(lambda Ai, v: Ai.rmatvec(v), in_axes=(ax_A, 0))
+    vmv = jax.vmap(
+        lambda Ai, v: unwrap_shared(Ai).matvec(v), in_axes=(ax_A, 0)
+    )
+    vrmv = jax.vmap(
+        lambda Ai, v: unwrap_shared(Ai).rmatvec(v), in_axes=(ax_A, 0)
+    )
     vinit = jax.vmap(lambda x: directions.init_state(x))
     vupdate = jax.vmap(lambda ds, s, y: directions.update(ds, s, y))
     vapply = jax.vmap(lambda ds, v: directions.apply(ds, v))
@@ -486,11 +492,11 @@ def _flat_drls_run(
     R = gamma.dtype
     quad = is_generalized_quadratic(f)
     vprox_f = jax.vmap(
-        lambda fi, u, gam: prox(fi, u, gam),
+        lambda fi, u, gam: prox(unwrap_shared(fi), u, gam),
         in_axes=(batch_axes(f), 0, 0),
     )
     vprox_g = jax.vmap(
-        lambda gi, u, gam: prox(gi, u, gam),
+        lambda gi, u, gam: prox(unwrap_shared(gi), u, gam),
         in_axes=(batch_axes(g), 0, 0),
     )
     vinit = jax.vmap(lambda x: directions.init_state(x))

@@ -378,13 +378,11 @@ def test_generic_driver_shared_operand_dp_sharded(dp_mesh):
         x0=jnp.zeros((B, N), jnp.float32), f=Shared(LeastSquaresLoss(A, b)),
         g=NormL1(lam), Lf=jnp.full((B,), Lf, jnp.float32),
     )
-    # the rank-0 hyperparameter broadcast BatchedAlgorithm normally does
-    iteration = jax.tree.map(
-        lambda l: l if isinstance(l, Shared)
-        else jnp.broadcast_to(l, (B,) + jnp.shape(l))
-        if jnp.ndim(l) == 0 else l,
-        iteration, is_leaf=lambda x: isinstance(x, Shared),
-    )
+    # materialize the driver's normalization so the shardings below attach
+    # to the exact tree batched_run_loop will see
+    from proxtpu.parallel.batch import broadcast_hyperparams
+
+    iteration = broadcast_hyperparams(iteration)
     xs1, it1, d1 = batched_run_loop(iteration, 3000, 1e-5)
 
     dp = lambda *tail: NamedSharding(dp_mesh, P("dp", *tail))

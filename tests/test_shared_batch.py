@@ -164,12 +164,8 @@ def test_compacting_run_keeps_shared_subtrees():
         x0=jnp.zeros((B, N)), f=Shared(LeastSquaresLoss(A, b)),
         g=NormL1(lam), Lf=jnp.full((B,), Lf),
     )
-    iteration = jax.tree.map(
-        lambda l: l if isinstance(l, Shared)
-        else jnp.broadcast_to(l, (B,) + jnp.shape(l))
-        if jnp.ndim(l) == 0 else l,
-        iteration, is_leaf=lambda x: isinstance(x, Shared),
-    )
+    # batched_run_loop/compacting_batched_run broadcast rank-0
+    # hyperparameters themselves (broadcast_hyperparams)
     from proxtpu.parallel import batched_run_loop
 
     xs, iters, done = batched_run_loop(iteration, 5000, TOL)
@@ -373,3 +369,103 @@ def test_shared_pickles_and_refuses_stacking():
     assert isinstance(copy.deepcopy(s), Shared)
     with pytest.raises(ValueError, match="Shared"):
         stack_iterations([{"f": s}, {"f": s}])
+
+
+# ---------------------------------------------------------------------------
+# auto-Shared normalization: the generic driver accepts the same
+# lane-invariant shorthands as the kernel dispatch (bare 2-D A kwarg,
+# unmarked f holding a shared design matrix), so skipping dispatch
+# (verbose=True, use_kernels=False) never changes *what* a call returns
+# ---------------------------------------------------------------------------
+
+
+def test_generic_driver_accepts_bare_2d_A_kwarg():
+    """A 2-D ``A`` kwarg is unambiguously lane-invariant (a stacked per-lane
+    A would be 3-D): broadcast_hyperparams auto-wraps it in Shared, so the
+    generic vmapped path solves it identically to the dispatch path."""
+    from proxtpu.prox.functions import SqrDistance
+
+    rng = np.random.default_rng(3)
+    Bn, M, N_ = 5, 18, 30
+    A = jnp.asarray(
+        (rng.standard_normal((M, N_)) / np.sqrt(M)).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    lam = jnp.asarray((0.05 + 0.2 * rng.random(Bn)).astype(np.float32))
+    kw = dict(
+        x0=jnp.zeros((Bn, N_), jnp.float32), f=Shared(SqrDistance(b)), A=A,
+        g=NormL1(lam), Lf=Lf, adaptive=False,
+    )
+    # verbose=True skips the kernel dispatch -> pure generic path
+    generic = BatchedAlgorithm(
+        make_panoc_iteration, maxit=500, tol=1e-5, use_kernels=False
+    )
+    x_g, it_g, d_g = generic(**kw)
+    assert bool(jnp.all(d_g))
+    # per-lane parity vs single solves with the same bare-2-D A
+    from proxtpu.algorithms import PANOC
+
+    for i in range(Bn):
+        x_s, k_s = PANOC(maxit=500, tol=1e-5)(
+            x0=jnp.zeros(N_, jnp.float32), f=SqrDistance(b), A=A,
+            g=NormL1(float(lam[i])), Lf=Lf, adaptive=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_s), np.asarray(x_g[i]), atol=2e-4
+        )
+
+
+def test_generic_driver_accepts_unmarked_shared_f():
+    """Unmarked ``LeastSquaresLoss(A_2d, b_batched)`` — the multirhs
+    shorthand the dispatch accepts — must solve on the generic driver too
+    (leaves without the leading batch axis are auto-marked Shared)."""
+    from proxtpu.parallel import batched_run_loop
+
+    rng = np.random.default_rng(4)
+    Bn, M, N_ = 6, 20, 40
+    A = jnp.asarray(
+        (rng.standard_normal((M, N_)) / np.sqrt(M)).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal((Bn, M)).astype(np.float32))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.asarray(b) @ np.asarray(A)), axis=1)
+    )
+    iteration = make_fast_forward_backward_iteration(
+        x0=jnp.zeros((Bn, N_), jnp.float32),
+        f=LeastSquaresLoss(A, b), g=NormL1(lam), Lf=Lf,
+    )
+    xs, iters, done = batched_run_loop(iteration, 3000, 1e-5)
+    assert bool(jnp.all(done))
+    for i in range(Bn):
+        x_s, k_s = FastForwardBackward(maxit=3000, tol=1e-5)(
+            x0=jnp.zeros(N_, jnp.float32), f=LeastSquaresLoss(A, b[i]),
+            g=NormL1(lam[i]), Lf=Lf,
+        )
+        assert abs(int(k_s) - int(iters[i])) <= 1
+        np.testing.assert_allclose(
+            np.asarray(x_s), np.asarray(xs[i]), atol=1e-5
+        )
+
+
+def test_stack_iterations_accepts_generators():
+    """Generator inputs must survive the Shared guard loop (regression:
+    the guard used to exhaust the generator before tree.map unpacked it)."""
+    from proxtpu.parallel import stack_iterations
+
+    rng = np.random.default_rng(5)
+    M, N_ = 8, 12
+    A = jnp.asarray(
+        (rng.standard_normal((M, N_)) / np.sqrt(M)).astype(np.float32)
+    )
+
+    def make(i):
+        b = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+        return make_fast_forward_backward_iteration(
+            x0=jnp.zeros(N_, jnp.float32), f=LeastSquaresLoss(A, b),
+            g=NormL1(0.1), Lf=float(np.linalg.norm(np.asarray(A), 2) ** 2),
+        )
+
+    stacked = stack_iterations(make(i) for i in range(3))
+    assert stacked.x0.shape == (3, N_)

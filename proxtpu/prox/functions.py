@@ -626,3 +626,154 @@ class SqrDistance:
     def prox(self, x, gamma):
         z = tree_map(lambda xl, bl: (xl + gamma * bl) / (1 + gamma), x, self.b)
         return z, self(z)
+
+
+@proxclass
+class NormL0:
+    """f(x) = lam * ||x||_0 (number of nonzeros; NONCONVEX).
+
+    Prox is hard thresholding: keep entries with |x_i| > sqrt(2 gamma lam)
+    (``ProximalOperators.NormL0``); pairs with the nonconvex solvers
+    (PANOC/ZeroFPR/LiLin) like the reference's nonconvex box-QP family
+    (``test/problems/test_nonconvex_qp.jl``)."""
+
+    lam: object = 1.0
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        lam = _rparam(self.lam, x)
+        return lam * sum(
+            jnp.sum((jnp.abs(l) > 0).astype(real_dtype_of(x)))
+            for l in jax.tree.leaves(x)
+        )
+
+    def prox(self, x, gamma):
+        lam = _rparam(self.lam, x)
+        thr = jnp.sqrt(2 * gamma * lam)
+        z = tree_map(
+            lambda l: jnp.where(jnp.abs(l) > thr, l, jnp.zeros((), l.dtype)),
+            x,
+        )
+        return z, self(z)
+
+
+@proxclass
+class HingeLoss:
+    """f(x) = mu * sum_i max(0, 1 - y_i x_i) — the SVM hinge loss
+    (``ProximalOperators.HingeLoss``).  y must be +-1-valued (same shape as
+    x); the prox is separable and closed-form:
+
+    with v = y*x (so the problem per coordinate is
+    ``min mu*gamma*max(0, 1-u) + (u-v)^2/2``):
+    u = v for v >= 1, u = min(v + mu*gamma, 1) otherwise; z = y*u."""
+
+    y: object
+    mu: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        mu = _rparam(self.mu, x)
+        return mu * sum(
+            jnp.sum(jnp.maximum(0, 1 - yl * xl))
+            for yl, xl in zip(jax.tree.leaves(self.y), jax.tree.leaves(x))
+        )
+
+    def prox(self, x, gamma):
+        mu = _rparam(self.mu, x)
+
+        def one(yl, xl):
+            v = yl * xl
+            u = jnp.where(v >= 1, v, jnp.minimum(v + mu * gamma, 1))
+            return yl * u
+
+        z = tree_map(one, self.y, x)
+        return z, self(z)
+
+
+@proxclass
+class IndBallLinf:
+    """Indicator of the l-inf ball {max_i |x_i| <= r}; the prox projects each
+    entry onto the radius-r disk (complex-safe clip)."""
+
+    r: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        r = _rparam(self.r, x)
+        ok = jnp.array(True)
+        for l in jax.tree.leaves(x):
+            # tolerate one-ULP projection roundoff like IndSimplex/IndBallL2
+            eps = jnp.finfo(real_dtype_of(x)).eps
+            ok = ok & jnp.all(jnp.abs(l) <= r * (1 + 10 * eps))
+        R = real_dtype_of(x)
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        r = _rparam(self.r, x)
+
+        def clipd(l):
+            a = jnp.abs(l)
+            scale = jnp.minimum(1.0, r / jnp.where(a == 0, 1, a))
+            return l * scale.astype(l.dtype)
+
+        return tree_map(clipd, x), _rzero(x)
+
+
+@proxclass
+class IndHalfspace:
+    """Indicator of the halfspace {<a, x> <= b} (real dtypes); the prox is
+    the affine projection x - max(0, (<a,x> - b)/||a||^2) a."""
+
+    a: object
+    b: object = 0.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        b = _rparam(self.b, x)
+        dot = tree_vdot_real(self.a, x)
+        eps = jnp.finfo(real_dtype_of(x)).eps
+        slack = 100 * eps * (1 + jnp.abs(b))
+        R = real_dtype_of(x)
+        return jnp.where(
+            dot <= b + slack, jnp.zeros((), R), jnp.asarray(jnp.inf, R)
+        )
+
+    def prox(self, x, gamma):
+        b = _rparam(self.b, x)
+        dot = tree_vdot_real(self.a, x)
+        asq = tree_vdot_real(self.a, self.a)
+        t = jnp.maximum(0, (dot - b) / jnp.where(asq == 0, 1, asq))
+        z = tree_map(lambda xl, al: xl - t * al, x, self.a)
+        return z, _rzero(x)
+
+
+@proxclass
+class IndPSD:
+    """Indicator of the positive-semidefinite cone (symmetric 2-D leaf);
+    the prox clamps negative eigenvalues to zero (on-device eigh)."""
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, X):
+        w = jnp.linalg.eigvalsh((X + X.T.conj()) / 2)
+        eps = jnp.finfo(real_dtype_of(X)).eps
+        tol = 100 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(w)))
+        R = real_dtype_of(X)
+        return jnp.where(
+            jnp.min(w) >= -tol, jnp.zeros((), R), jnp.asarray(jnp.inf, R)
+        )
+
+    def prox(self, X, gamma):
+        w, V = jnp.linalg.eigh((X + X.T.conj()) / 2)
+        wpos = jnp.maximum(w, 0)
+        Z = pdot(V * wpos[None, :].astype(V.dtype), V.T.conj())
+        return Z, _rzero(X)

@@ -93,3 +93,15 @@ def test_migration_guide_block_runs():
     # the block's lasso is tests/problems.py's: pin the optimum
     x = np.asarray(ns["solution"])
     assert np.max(np.abs(x - np.asarray(LASSO_XSTAR, np.float64))) <= 1e-4
+
+
+def test_svm_path_example():
+    """The batched SVM lam-path example: all lanes converge, accuracy is
+    sensible at small lam, and the ridge path shrinks monotonically."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples", "svm_path.py")
+    spec = importlib.util.spec_from_file_location("svm_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()  # asserts all lanes converged internally

@@ -133,3 +133,121 @@ def test_simplex_in_solver():
     )
     z_ref, _ = IndSimplex(1.0).prox(c, 1.0)
     np.testing.assert_allclose(np.asarray(x), np.asarray(z_ref), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: NormL0, HingeLoss, IndBallLinf, IndHalfspace, IndPSD
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_norml0_hard_threshold(dtype):
+    from proxtpu.prox import NormL0
+
+    lam, gamma = 0.8, 0.5
+    f = NormL0(lam)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(64), dtype)
+    z, f_z = f.prox(x, gamma)
+    thr = np.sqrt(2 * gamma * lam)
+    expect = np.where(np.abs(np.asarray(x)) > thr, np.asarray(x), 0.0)
+    np.testing.assert_allclose(np.asarray(z), expect)
+    np.testing.assert_allclose(float(f_z), lam * np.count_nonzero(expect))
+    # per-coordinate the prox picks the cheaper of {keep, kill}
+    keep_cost = lam  # objective cost of a kept nonzero
+    kill_cost = np.asarray(x) ** 2 / (2 * gamma)
+    better_kill = kill_cost < keep_cost
+    assert np.all((np.asarray(z) == 0) == (better_kill | (np.asarray(x) == 0)))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_hinge_loss_prox(dtype):
+    from proxtpu.prox import HingeLoss
+
+    rng = np.random.default_rng(8)
+    y = jnp.asarray(np.sign(rng.standard_normal(32)).astype(np.float64), dtype)
+    x = jnp.asarray(2.0 * rng.standard_normal(32), dtype)
+    mu, gamma = 1.5, 0.6
+    f = HingeLoss(y, mu)
+    v = float(f(x))
+    np.testing.assert_allclose(
+        v, mu * np.sum(np.maximum(0, 1 - np.asarray(y) * np.asarray(x))),
+        rtol=1e-5,
+    )
+    z, f_z = f.prox(x, gamma)
+    np.testing.assert_allclose(float(f_z), float(f(z)), rtol=1e-5)
+    # separable scalar brute force on a fine grid
+    for i in range(0, 32, 5):
+        grid = np.linspace(-6, 6, 240001)
+        obj = mu * gamma * np.maximum(0, 1 - float(y[i]) * grid) \
+            + 0.5 * (grid - float(x[i])) ** 2
+        np.testing.assert_allclose(
+            float(z[i]), grid[np.argmin(obj)], atol=1e-4
+        )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64, jnp.complex64])
+def test_ind_ball_linf(dtype):
+    from proxtpu.prox import IndBallLinf
+
+    r = 0.7
+    f = IndBallLinf(r)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(24)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        x = x + 1j * rng.standard_normal(24)
+    x = jnp.asarray(x, dtype)
+    z, _ = f.prox(x, 1.0)
+    assert float(jnp.max(jnp.abs(z))) <= r * (1 + 1e-6)
+    assert float(f(z)) == 0.0
+    # projection: each entry scaled onto the radius-r disk
+    xa = np.asarray(x)
+    expect = xa * np.minimum(1.0, r / np.maximum(np.abs(xa), 1e-30))
+    np.testing.assert_allclose(np.asarray(z), expect, atol=1e-6)
+    # idempotent
+    z2, _ = f.prox(z, 1.0)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-7)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_ind_halfspace(dtype):
+    from proxtpu.prox import IndHalfspace
+
+    rng = np.random.default_rng(10)
+    a = jnp.asarray(rng.standard_normal(16), dtype)
+    b = 0.3
+    f = IndHalfspace(a, b)
+    x = jnp.asarray(rng.standard_normal(16) + 1.0, dtype)
+    z, _ = f.prox(x, 1.0)
+    aa, xa = np.asarray(a), np.asarray(x)
+    t = max(0.0, (float(aa @ xa) - b) / float(aa @ aa))
+    np.testing.assert_allclose(np.asarray(z), xa - t * aa, atol=1e-6)
+    assert float(f(z)) == 0.0
+    # interior points are fixed
+    x_in = jnp.asarray(-np.abs(rng.standard_normal(16)) * np.sign(aa), dtype)
+    if float(np.asarray(a) @ np.asarray(x_in)) <= b:
+        z_in, _ = f.prox(x_in, 2.0)
+        np.testing.assert_allclose(np.asarray(z_in), np.asarray(x_in))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_ind_psd(dtype):
+    from proxtpu.prox import IndPSD
+
+    f = IndPSD()
+    rng = np.random.default_rng(11)
+    S = rng.standard_normal((6, 6))
+    X = jnp.asarray((S + S.T) / 2, dtype)
+    Z, _ = f.prox(X, 1.0)
+    w = np.linalg.eigvalsh(np.asarray(Z))
+    assert w.min() >= -1e-5
+    assert float(f(Z)) == 0.0
+    # numpy oracle: eigen clamp
+    wX, V = np.linalg.eigh(np.asarray(X))
+    expect = (V * np.maximum(wX, 0)) @ V.T
+    np.testing.assert_allclose(np.asarray(Z), expect, atol=1e-5)
+    # Frobenius-nearest: no random PSD matrix is closer to X
+    d_star = np.linalg.norm(np.asarray(X) - expect)
+    for _ in range(20):
+        R = rng.standard_normal((6, 6))
+        P = R @ R.T / 6 + expect * rng.random()
+        assert np.linalg.norm(np.asarray(X) - P) >= d_star - 1e-6

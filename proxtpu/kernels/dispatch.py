@@ -59,7 +59,7 @@ def _scalar_or_vec(v, B, dtype):
 
 
 def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
-                        solution=None):
+                        solution=None, check_every=1):
     """Route batched *adaptive* FB/FISTA to the flattened trial/commit
     machine (:mod:`proxtpu.parallel.adaptive_batch`) — one oracle
     evaluation per loop trip instead of T masked trials per iteration
@@ -113,6 +113,7 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
         minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
         reduce_gamma=float(kwargs.get("reduce_gamma", 0.5)),
         increase_gamma=float(kwargs.get("increase_gamma", 1.0)),
+        check_every=int(check_every),
     )
     if accel:
         opts["mf"] = float(kwargs.get("mf", 0.0) or 0.0)
@@ -121,7 +122,7 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
 
 
 def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
-                          solution=None):
+                          solution=None, check_every=1):
     """Route batched *fixed-stepsize* tau-linesearch solvers to the
     flattened trial/commit machines (:mod:`proxtpu.parallel.flat_ls`) —
     one oracle evaluation per loop trip instead of ``max_backtracks``
@@ -140,7 +141,8 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
         return None
     gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
     if name == "make_drls_iteration":
-        return _match_flat_drls(kwargs, tol=tol, maxit=maxit)
+        return _match_flat_drls(kwargs, tol=tol, maxit=maxit,
+                                check_every=check_every)
     panocplus = name == "make_panocplus_iteration"
     adaptive = kwargs.get("adaptive")
     if adaptive is None:
@@ -231,11 +233,12 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
 
     return lambda: runner(
         f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,
-        max_backtracks=max_backtracks, directions=directions, **extra,
+        max_backtracks=max_backtracks, directions=directions,
+        check_every=int(check_every), **extra,
     )
 
 
-def _match_flat_drls(kwargs, *, tol, maxit):
+def _match_flat_drls(kwargs, *, tol, maxit, check_every=1):
     """DRLS leg of :func:`match_flat_linesearch` (no linear operator; f has
     accessible prox; gamma/c derived per lane exactly like the factory,
     ``drls.jl:11-22``)."""
@@ -311,7 +314,7 @@ def _match_flat_drls(kwargs, *, tol, maxit):
     return lambda: _par.batched_drls(
         f, g, x0, gamma_v, lam_v, c_v, tol, maxit=maxit,
         max_backtracks=max_backtracks, directions=directions,
-        dre_sign=dre_sign,
+        dre_sign=dre_sign, check_every=int(check_every),
     )
 
 

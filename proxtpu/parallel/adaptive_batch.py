@@ -50,12 +50,12 @@ from ..utils.tree import eps_of
 @partial(
     jax.jit,
     static_argnames=("maxit", "accel", "minimum_gamma", "reduce_gamma",
-                     "increase_gamma", "trip_cap", "mf"),
+                     "increase_gamma", "trip_cap", "mf", "check_every"),
 )
 def _flat_adaptive_run(
     f, g, x0, gamma0, tol, maxit, accel=False,
     minimum_gamma=1e-7, reduce_gamma=0.5, increase_gamma=1.0,
-    trip_cap=None, mf=0.0,
+    trip_cap=None, mf=0.0, check_every=1,
 ):
     """Shared flattened driver for FB (accel=False) and FISTA (accel=True,
     the stepsize-fed AdaptiveNesterovSequence(mf) — the driver's default).
@@ -212,13 +212,17 @@ def _flat_adaptive_run(
             trips=s["trips"] + 1,
         )
 
-    s = jax.lax.while_loop(cond, body, init)
+    from .flat_ls import _blocked_while
+
+    # the body freezes inactive lanes entirely, so blocking is EXACT (see
+    # flat_ls._blocked_while): it only amortizes the per-while-trip cost
+    s = _blocked_while(cond, body, init, check_every)
     return s["z"], s["k"], s["done"]
 
 
 def batched_adaptive_fb(f, g, x0, tol, maxit=10_000, gamma0=None,
                         minimum_gamma=1e-7, reduce_gamma=0.5,
-                        increase_gamma=1.0):
+                        increase_gamma=1.0, check_every=1):
     """Flattened batched adaptive ForwardBackward.
 
     ``f``, ``g``: vmap-stacked smooth/prox function pytrees; ``x0``: (B, n);
@@ -232,13 +236,13 @@ def batched_adaptive_fb(f, g, x0, tol, maxit=10_000, gamma0=None,
     return _flat_adaptive_run(
         f, g, x0, jnp.asarray(gamma0, x0.dtype), tol, maxit, accel=False,
         minimum_gamma=float(minimum_gamma), reduce_gamma=float(reduce_gamma),
-        increase_gamma=float(increase_gamma),
+        increase_gamma=float(increase_gamma), check_every=int(check_every),
     )
 
 
 def batched_adaptive_fista(f, g, x0, tol, maxit=10_000, gamma0=None,
                            minimum_gamma=1e-7, reduce_gamma=0.5,
-                           increase_gamma=1.0, mf=0.0):
+                           increase_gamma=1.0, mf=0.0, check_every=1):
     """Flattened batched adaptive FastForwardBackward (the stepsize-fed
     AdaptiveNesterovSequence(mf) extrapolation, matching the driver's
     default; mf > 0 enables the strongly-convex sequence).  Same contract
@@ -249,6 +253,7 @@ def batched_adaptive_fista(f, g, x0, tol, maxit=10_000, gamma0=None,
         f, g, x0, jnp.asarray(gamma0, x0.dtype), tol, maxit, accel=True,
         minimum_gamma=float(minimum_gamma), reduce_gamma=float(reduce_gamma),
         increase_gamma=float(increase_gamma), mf=float(mf),
+        check_every=int(check_every),
     )
 
 

@@ -475,12 +475,14 @@ class BatchedAlgorithm:
                     self.iteration_factory, merged,
                     tol=self.tol, maxit=self.maxit,
                     stop=self.stop, solution=self.solution,
+                    check_every=self.check_every,
                 )
             if run is None:
                 run = match_flat_linesearch(
                     self.iteration_factory, merged,
                     tol=self.tol, maxit=self.maxit,
                     stop=self.stop, solution=self.solution,
+                    check_every=self.check_every,
                 )
             if run is not None:
                 return run()

@@ -75,6 +75,43 @@ def _f_model(f_x, grad, res, L):
     return f_x - _vdot(grad, res) + (L / 2) * _norm_sq(res)
 
 
+def _blocked_while(cond, body, carry, check_every):
+    """Run ``check_every`` body trips per while-loop trip.
+
+    The flat machines' bodies fully freeze inactive lanes (every update is
+    masked on ``active``), so blocking is semantically EXACT — identical
+    per-lane counts and solutions to ``check_every=1`` — and only
+    amortizes the fixed per-while-trip pipeline cost (the same trade
+    ``check_every`` makes in
+    :func:`proxtpu.parallel.batch.batched_run_loop`, where it is
+    approximate, and the fused kernels' iteration blocking).  At most
+    ``check_every - 1`` masked no-op trips run after the last lane
+    finishes.
+
+    Exactness caveat: on CPU the blocked program is bit-identical to K=1
+    (pinned in ``tests/test_flat_ls.py``); on TPU, XLA compiles the
+    fori-in-while body with different fusion/reassociation, so knife-edge
+    accept tests can flip (counts drift +-1, solutions by last-ULP) — the
+    same compilation-level caveat as batch-size-dependent einsum tiling.
+
+    Measured at the flagship 256x200x400 lasso (1x v5e, same process,
+    BASELINE.md): adaptive-FISTA machine +68% at K=8 (its trip is one
+    cheap matvec pair — the while-trip quantum dominates), flat PANOC
+    +12%, flat ZeroFPR -16% (oracle-heavy trips; blocking only adds tail
+    waste).  Default stays 1; `BatchedAlgorithm(check_every=K)` threads K
+    into every flat runner.
+    """
+    if check_every == 1:
+        return jax.lax.while_loop(cond, body, carry)
+    return jax.lax.while_loop(
+        cond,
+        lambda c: jax.lax.fori_loop(
+            0, check_every, lambda _, t: body(t), c
+        ),
+        carry,
+    )
+
+
 def _make_vmapped(f, A, g, directions):
     # Shared-marked f/A/g map with in_axes=None (lane-invariant): the
     # per-lane matvec against a Shared A lowers to ONE (B,n)@(n,m) MXU
@@ -102,11 +139,12 @@ def _make_vmapped(f, A, g, directions):
 
 @partial(
     jax.jit,
-    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap"),
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap",
+                     "check_every"),
 )
 def _flat_panoc_run(
     f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
-    directions, trip_cap=None,
+    directions, trip_cap=None, check_every=1,
 ):
     """Flattened batched fixed-gamma PANOC.
 
@@ -304,17 +342,18 @@ def _flat_panoc_run(
         out["done"] = new["done"]
         return out
 
-    s = jax.lax.while_loop(cond, body, s)
+    s = _blocked_while(cond, body, s, check_every)
     return s["z_sol"], s["k"], s["done"]
 
 
 @partial(
     jax.jit,
-    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap"),
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap",
+                     "check_every"),
 )
 def _flat_zerofpr_run(
     f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
-    directions, trip_cap=None,
+    directions, trip_cap=None, check_every=1,
 ):
     """Flattened batched fixed-gamma ZeroFPR.
 
@@ -454,7 +493,7 @@ def _flat_zerofpr_run(
         out["done"] = new["done"]
         return out
 
-    s = jax.lax.while_loop(cond, body, s)
+    s = _blocked_while(cond, body, s, check_every)
     return s["z_sol"], s["k"], s["done"]
 
 
@@ -467,12 +506,12 @@ def _dot_real_unconj(a, b):
 
 @partial(
     jax.jit,
-    static_argnames=("maxit", "max_backtracks", "directions", "dre_sign",
+    static_argnames=("check_every", "maxit", "max_backtracks", "directions", "dre_sign",
                      "trip_cap"),
 )
 def _flat_drls_run(
     f, g, x0, gamma, lam, c, tol, maxit, max_backtracks, directions,
-    dre_sign, trip_cap=None,
+    dre_sign, trip_cap=None, check_every=1,
 ):
     """Flattened batched DRLS (fixed gamma — DRLS has no adaptive mode).
 
@@ -658,13 +697,13 @@ def _flat_drls_run(
         out["done"] = new["done"]
         return out
 
-    s = jax.lax.while_loop(cond, body, s)
+    s = _blocked_while(cond, body, s, check_every)
     return s["v_sol"], s["k"], s["done"]
 
 
 def batched_drls(f, g, x0, gamma, lam, c, tol, maxit=1000,
                  max_backtracks=20, directions=None, dre_sign=1,
-                 trip_cap=None):
+                 trip_cap=None, check_every=1):
     """Flattened batched DRLS (one prox_f + prox_g per loop trip; see
     ``_flat_drls_run``).
 
@@ -685,18 +724,19 @@ def batched_drls(f, g, x0, gamma, lam, c, tol, maxit=1000,
     return _flat_drls_run(
         f, g, x0, gamma, lam, c, tol, maxit, int(max_backtracks),
         directions, int(dre_sign), trip_cap=trip_cap,
+        check_every=int(check_every),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("maxit", "max_backtracks", "directions", "adaptive",
+    static_argnames=("check_every", "maxit", "max_backtracks", "directions", "adaptive",
                      "estimate_gamma", "init_backtracks", "trip_cap"),
 )
 def _flat_panocplus_run(
     f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
     directions, adaptive, minimum_gamma, estimate_gamma=False,
-    init_backtracks=40, trip_cap=None,
+    init_backtracks=40, trip_cap=None, check_every=1,
 ):
     """Flattened batched PANOCplus — fixed OR adaptive gamma.
 
@@ -890,14 +930,14 @@ def _flat_panocplus_run(
         out["done"] = new["done"]
         return out
 
-    s = jax.lax.while_loop(cond, body, s)
+    s = _blocked_while(cond, body, s, check_every)
     return s["z_sol"], s["k"], s["done"]
 
 
 def batched_panocplus(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                       beta=0.5, max_backtracks=20, directions=None,
                       adaptive=False, minimum_gamma=1e-7,
-                      init_backtracks=None, trip_cap=None):
+                      init_backtracks=None, trip_cap=None, check_every=1):
     """Flattened batched PANOCplus — fixed or adaptive stepsize (see
     ``_flat_panocplus_run``).
 
@@ -935,12 +975,13 @@ def batched_panocplus(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
         int(max_backtracks), directions, bool(adaptive),
         jnp.asarray(minimum_gamma, R), estimate_gamma=estimate_gamma,
         init_backtracks=int(init_backtracks), trip_cap=trip_cap,
+        check_every=int(check_every),
     )
 
 
 def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                     beta=0.5, max_backtracks=20, directions=None,
-                    trip_cap=None):
+                    trip_cap=None, check_every=1):
     """Flattened batched fixed-stepsize ZeroFPR (one oracle evaluation per
     loop trip; see ``_flat_zerofpr_run``).
 
@@ -957,12 +998,13 @@ def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
     return _flat_zerofpr_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
         int(max_backtracks), directions, trip_cap=trip_cap,
+        check_every=int(check_every),
     )
 
 
 def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                   beta=0.5, max_backtracks=20, directions=None,
-                  trip_cap=None):
+                  trip_cap=None, check_every=1):
     """Flattened batched fixed-stepsize PANOC (one oracle evaluation per
     loop trip; see module docstring).
 
@@ -982,4 +1024,5 @@ def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
     return _flat_panoc_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
         int(max_backtracks), directions, trip_cap=trip_cap,
+        check_every=int(check_every),
     )

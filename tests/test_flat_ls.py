@@ -537,3 +537,67 @@ def test_flat_panoc_alternative_quasi_newton(accel):
         np.testing.assert_allclose(
             np.asarray(z[i]), np.asarray(x), rtol=0, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("machine", ["panoc", "zerofpr", "panocplus",
+                                     "drls", "adaptive_fista"])
+def test_blocked_flat_machines_bit_exact(machine):
+    """check_every=K on the flat machines is EXACT (the bodies fully freeze
+    inactive lanes, so blocking only amortizes the per-while-trip cost):
+    per-lane counts AND solutions must be bit-identical to K=1."""
+    from proxtpu.algorithms.fast_forward_backward import (  # noqa: F401
+        make_fast_forward_backward_iteration,
+    )
+    from proxtpu.ops.linops import IdentityOperator
+    from proxtpu.parallel import batched_panocplus
+    from proxtpu.parallel.adaptive_batch import batched_adaptive_fista
+    from proxtpu.prox import LeastSquaresLoss
+
+    A, b, lam, Lf = problems(3)
+    f = jax.vmap(LeastSquaresLoss)(A, b)
+    g = NormL1(lam)
+    x0 = jnp.zeros((B, N))
+    gam = 0.95 / Lf
+    fid = jax.vmap(lambda _: IdentityOperator())(jnp.arange(B))
+
+    if machine == "adaptive_fista":
+        run = lambda ce: batched_adaptive_fista(
+            f, g, x0, 1e-5, maxit=3000, check_every=ce
+        )
+    elif machine == "drls":
+        fls = jax.vmap(make_least_squares)(A, b)
+        cc = jnp.full((B,), -np.inf)
+        run = lambda ce: batched_drls(
+            fls, g, x0, 1.0 / Lf, jnp.ones((B,)), cc, 1e-5, maxit=300,
+            check_every=ce,
+        )
+    else:
+        fn = {"panoc": batched_panoc, "zerofpr": batched_zerofpr,
+              "panocplus": batched_panocplus}[machine]
+        run = lambda ce: fn(f, fid, g, x0, gam, 1e-5, maxit=300,
+                            check_every=ce)
+
+    z1, k1, d1 = run(1)
+    z8, k8, d8 = run(8)
+    assert bool(jnp.all(d1))
+    assert np.array_equal(np.asarray(k1), np.asarray(k8))
+    assert np.array_equal(np.asarray(d1), np.asarray(d8))
+    assert np.array_equal(np.asarray(z1), np.asarray(z8))
+
+
+def test_batched_algorithm_check_every_reaches_flat_machines():
+    """BatchedAlgorithm(check_every=K) must thread K into the flat
+    trial/commit runners (dispatch route), keeping exact counts."""
+    from proxtpu.prox import LeastSquaresLoss
+
+    A, b, lam, Lf = problems(4)
+    f = jax.vmap(LeastSquaresLoss)(A, b)
+    g = NormL1(lam)
+    kw = dict(x0=jnp.zeros((B, N)), f=f, g=g, Lf=Lf, adaptive=False)
+    s1 = BatchedAlgorithm(make_panoc_iteration, maxit=300, tol=1e-5)
+    s8 = BatchedAlgorithm(make_panoc_iteration, maxit=300, tol=1e-5,
+                          check_every=8)
+    z1, k1, d1 = s1(**kw)
+    z8, k8, d8 = s8(**kw)
+    assert np.array_equal(np.asarray(k1), np.asarray(k8))
+    assert np.array_equal(np.asarray(z1), np.asarray(z8))

@@ -107,6 +107,23 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
 
         def run():
             return batched_run_loop(iteration, maxit, tol, check_every=8)
+    elif path == "flat_zerofpr":
+        # flat trial/commit line-search machine under plain GSPMD dp
+        # sharding (tests/test_sharding.py::test_flat_machines_dp_sharded
+        # pins parity); the fastest distinct-A solver measured
+        from proxtpu.ops.linops import MatrixOperator
+        from proxtpu.parallel import batched_zerofpr
+        from proxtpu.prox import NormL1, SqrDistance
+
+        f = jax.vmap(SqrDistance)(b)
+        Aop = jax.vmap(MatrixOperator)(A)
+        gamma = 0.95 / Lf
+        x0 = shard(np.zeros((B, n), As.dtype), P("dp", None))
+
+        def run():
+            return batched_zerofpr(
+                f, Aop, NormL1(lam), x0, gamma, tol, maxit=maxit
+            )
     else:
         def run():
             return solve_lasso_batch(
@@ -149,12 +166,14 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument(
         "--path", default="generic",
-        choices=["generic", "kernel", "blocked", "multirhs", "shared"],
+        choices=["generic", "kernel", "blocked", "multirhs", "shared",
+                 "flat_zerofpr"],
         help="solver formulation: generic pure-XLA batched step, fused "
              "one-step kernel, K-blocked VMEM-resident kernel, the "
              "shared-A MXU multirhs solve (all dp-sharded via shard_map), "
-             "or the generic driver with a Shared operand under plain "
-             "GSPMD (lanes dp-sharded, operand replicated)",
+             "the generic driver with a Shared operand under plain "
+             "GSPMD (lanes dp-sharded, operand replicated), or the flat "
+             "ZeroFPR trial/commit machine under GSPMD dp",
     )
     args = ap.parse_args()
 

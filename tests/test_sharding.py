@@ -408,3 +408,63 @@ def test_generic_driver_shared_operand_dp_sharded(dp_mesh):
     assert len(xs8.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(xs8), np.asarray(xs1), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(it8), np.asarray(it1))
+
+
+def test_flat_machines_dp_sharded(dp_mesh):
+    """The flat trial/commit machines under plain GSPMD dp sharding: lanes
+    distributed over the mesh, identical per-lane counts and solutions to
+    the unsharded run (the machines are pure jit programs over stacked
+    arrays — XLA partitions every vmapped op along the batch axis; the
+    global `all(done)` reduce becomes a psum)."""
+    from proxtpu.ops.linops import MatrixOperator
+    from proxtpu.parallel import Shared, batched_panoc, batched_zerofpr
+    from proxtpu.prox import SqrDistance
+
+    rng = np.random.default_rng(21)
+    B, M, N = 16, 24, 40
+    A = jnp.asarray(rng.standard_normal((B, M, N)) / np.sqrt(M))
+    b = jnp.asarray(rng.standard_normal((B, M)))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1))
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) for i in range(B)]
+    )
+    f = jax.vmap(SqrDistance)(b)
+    g = NormL1(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    x0 = jnp.zeros((B, N))
+    gamma = 0.95 / Lf
+
+    dp = lambda *tail: NamedSharding(dp_mesh, P("dp", *tail))
+    shard = lambda arr, spec: jax.device_put(jnp.asarray(arr), spec)
+
+    for fn in (batched_zerofpr, batched_panoc):
+        z0, k0, d0 = fn(f, Aop, g, x0, gamma, 1e-6, maxit=400)
+        z1, k1, d1 = fn(
+            jax.tree.map(lambda l: shard(l, dp()) if l.ndim == 1
+                         else shard(l, dp(*([None] * (l.ndim - 1)))), f),
+            jax.tree.map(lambda l: shard(l, dp(None, None)), Aop),
+            jax.tree.map(lambda l: shard(l, dp()), g),
+            shard(x0, dp(None)), shard(gamma, dp()), 1e-6, maxit=400,
+        )
+        assert bool(jnp.all(d1))
+        assert np.array_equal(np.asarray(k0), np.asarray(k1)), fn.__name__
+        np.testing.assert_allclose(
+            np.asarray(z0), np.asarray(z1), atol=1e-12
+        )
+        # lanes actually live distributed across the mesh
+        assert len(z1.sharding.device_set) == 8
+
+    # Shared-operand variant: one (A, b), per-lane lam, dp-sharded lanes
+    A1, b1 = A[0], b[0]
+    f_sh = Shared(SqrDistance(b1))
+    Aop_sh = Shared(MatrixOperator(A1))
+    gam1 = jnp.full((B,), 0.95 / float(Lf[0]))
+    z0, k0, d0 = batched_zerofpr(f_sh, Aop_sh, g, x0, gam1, 1e-6, maxit=400)
+    z1, k1, d1 = batched_zerofpr(
+        f_sh, Aop_sh, jax.tree.map(lambda l: shard(l, dp()), g),
+        shard(x0, dp(None)), shard(gam1, dp()), 1e-6, maxit=400,
+    )
+    assert bool(jnp.all(d1))
+    assert np.array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=1e-12)

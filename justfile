@@ -30,6 +30,9 @@ bench-tv:
 bench-shared:
     python benchmarks/shared_bench.py
 
+bench-svm:
+    python benchmarks/svm_bench.py
+
 scaling:
     python benchmarks/scaling.py --platform cpu
 

@@ -105,3 +105,23 @@ def test_svm_path_example():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main()  # asserts all lanes converged internally
+
+
+def test_multitask_lasso_example():
+    """Multi-task lasso on a matrix iterate: joint row selection recovers
+    exactly the shared support (true rows >= 3.2 in norm vs <= 0.07 for
+    the largest spurious row), deterministically."""
+    import importlib.util
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "multitask_lasso.py")
+    spec = importlib.util.spec_from_file_location("mtl_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert np.array_equal(out["selected"], out["support"])
+    assert out["iterations"] < 2000
+    out2 = mod.main(verbose=False)
+    assert np.array_equal(out["X"], out2["X"])  # deterministic

@@ -58,6 +58,14 @@ def test_prox_functions_pytree_roundtrip():
         HuberLoss(1.0, 2.0), IndSimplex(1.0), IndBallL1(1.0), IndBallL2(1.0),
         SumPositive(),
     ]
+    from proxtpu.prox import (
+        HingeLoss, IndBallLinf, IndHalfspace, IndPSD, NormL0,
+    )
+
+    fns += [
+        NormL0(0.5), HingeLoss(jnp.sign(x - 1.5), 1.0), IndBallLinf(1.0),
+        IndHalfspace(x, 0.5), IndPSD(),
+    ]
     for f in fns:
         leaves, treedef = jax.tree.flatten(f)
         f2 = jax.tree.unflatten(treedef, leaves)

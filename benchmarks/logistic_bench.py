@@ -31,7 +31,6 @@ Usage: python benchmarks/logistic_bench.py [--quick] [--only=a,b]
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

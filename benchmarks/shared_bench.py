@@ -21,7 +21,6 @@ Usage: python benchmarks/shared_bench.py [--quick] [--only=a,b]
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

@@ -20,7 +20,6 @@ Usage: python benchmarks/x64_batched.py [--quick]
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

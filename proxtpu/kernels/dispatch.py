@@ -64,7 +64,11 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
     machine (:mod:`proxtpu.parallel.adaptive_batch`) — one oracle
     evaluation per loop trip instead of T masked trials per iteration
     (measured 3.1× on TPU), with exact per-lane parity with the
-    single-problem driver.  Returns a runner or ``None``."""
+    single-problem driver on CPU.  ``check_every`` (BatchedAlgorithm
+    defaults this route to 8) blocks K trips per while trip — exact
+    semantics, but on TPU the recompiled blocked body can flip knife-edge
+    accepts (counts drift +-1; see flat_ls._blocked_while).  Returns a
+    runner or ``None``."""
     if stop is not None or solution is not None:
         return None
     name = getattr(factory, "__name__", "")

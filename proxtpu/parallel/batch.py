@@ -61,14 +61,23 @@ def broadcast_hyperparams(iteration):
     * leaves already under a Shared marker stay untouched.
 
     The batch size comes from ``iteration.x0`` (always stacked ``(B, ...)``)
-    when present, else the first non-Shared array leaf.  A lane-invariant
-    leaf whose leading dim *coincidentally* equals B is indistinguishable
-    from a stacked one — wrap it in ``Shared`` explicitly to disambiguate."""
+    when present; auto-Shared wrapping happens ONLY in that case — when x0
+    is absent (or itself Shared) B falls back to the first non-Shared array
+    leaf, which cannot distinguish an unstacked operand from the batch
+    axis, so only the rank-0 broadcast is applied.  A lane-invariant leaf
+    whose leading dim *coincidentally* equals B is indistinguishable from a
+    stacked one — wrap it in ``Shared`` explicitly to disambiguate (and
+    note the flip side: a mis-sliced per-lane leaf with the wrong leading
+    dim is treated as lane-invariant rather than raising vmap's axis-size
+    error)."""
     B = None
     x0 = getattr(iteration, "x0", None)
-    if x0 is not None and not isinstance(x0, Shared) and jnp.ndim(x0) > 0:
+    b_from_x0 = (
+        x0 is not None and not isinstance(x0, Shared) and jnp.ndim(x0) > 0
+    )
+    if b_from_x0:
         B = jnp.shape(x0)[0]
-    if B is None:
+    else:
         for leaf in jax.tree.leaves(
             iteration, is_leaf=lambda x: isinstance(x, Shared)
         ):
@@ -83,7 +92,7 @@ def broadcast_hyperparams(iteration):
             return l
         if jnp.ndim(l) == 0:
             return jnp.broadcast_to(l, (B,))
-        if jnp.shape(l)[0] != B:
+        if b_from_x0 and jnp.shape(l)[0] != B:
             return Shared(l)
         return l
 

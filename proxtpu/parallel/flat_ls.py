@@ -101,6 +101,8 @@ def _blocked_while(cond, body, carry, check_every):
     waste).  Default stays 1; `BatchedAlgorithm(check_every=K)` threads K
     into every flat runner.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     if check_every == 1:
         return jax.lax.while_loop(cond, body, carry)
     return jax.lax.while_loop(
@@ -721,6 +723,12 @@ def batched_drls(f, g, x0, gamma, lam, c, tol, maxit=1000,
     gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (B,))
     lam = jnp.broadcast_to(jnp.asarray(lam, R), (B,))
     c = jnp.broadcast_to(jnp.asarray(c, R), (B,))
+    if trip_cap is not None and int(check_every) > 1:
+        raise ValueError(
+            "check_every > 1 cannot honor an explicit trip_cap exactly "
+            "(the cap is only checked at block boundaries); set one or "
+            "the other"
+        )
     return _flat_drls_run(
         f, g, x0, gamma, lam, c, tol, maxit, int(max_backtracks),
         directions, int(dre_sign), trip_cap=trip_cap,
@@ -970,6 +978,12 @@ def batched_panocplus(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
             )
         else:
             init_backtracks = 40
+    if trip_cap is not None and int(check_every) > 1:
+        raise ValueError(
+            "check_every > 1 cannot honor an explicit trip_cap exactly "
+            "(the cap is only checked at block boundaries); set one or "
+            "the other"
+        )
     return _flat_panocplus_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
         int(max_backtracks), directions, bool(adaptive),
@@ -995,6 +1009,12 @@ def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
     x0 = jnp.asarray(x0)
     R = jnp.zeros((), x0.dtype).real.dtype
     gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (x0.shape[0],))
+    if trip_cap is not None and int(check_every) > 1:
+        raise ValueError(
+            "check_every > 1 cannot honor an explicit trip_cap exactly "
+            "(the cap is only checked at block boundaries); set one or "
+            "the other"
+        )
     return _flat_zerofpr_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
         int(max_backtracks), directions, trip_cap=trip_cap,
@@ -1021,6 +1041,12 @@ def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
     x0 = jnp.asarray(x0)
     R = jnp.zeros((), x0.dtype).real.dtype
     gamma = jnp.broadcast_to(jnp.asarray(gamma, R), (x0.shape[0],))
+    if trip_cap is not None and int(check_every) > 1:
+        raise ValueError(
+            "check_every > 1 cannot honor an explicit trip_cap exactly "
+            "(the cap is only checked at block boundaries); set one or "
+            "the other"
+        )
     return _flat_panoc_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
         int(max_backtracks), directions, trip_cap=trip_cap,

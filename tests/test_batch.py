@@ -155,3 +155,30 @@ def test_batched_algorithm_check_every():
         y = x - gi * (Ai.T @ (Ai @ x - np.asarray(b[i], np.float64)))
         z = np.sign(y) * np.maximum(np.abs(y) - gi * float(lam[i]), 0)
         assert np.max(np.abs(x - z)) / gi <= 1.1e-5
+
+
+def test_auto_shared_only_with_x0_batch_inference():
+    """broadcast_hyperparams auto-wraps unstacked leaves in Shared only
+    when the batch size came from x0; with no x0 field the fallback
+    first-leaf inference must NOT auto-share (it cannot distinguish an
+    unstacked operand from the batch axis)."""
+    from proxtpu.parallel.batch import broadcast_hyperparams
+    from proxtpu.utils.shared import Shared
+
+    class Bag:
+        pass
+
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        Bag,
+        lambda bg: ((bg.a, bg.b), None),
+        lambda aux, ch: (lambda bg: (setattr(bg, "a", ch[0]),
+                                     setattr(bg, "b", ch[1]), bg)[2])(Bag()),
+    )
+    bg = Bag()
+    bg.a = jnp.zeros((4, 3))   # first leaf -> B inferred as 4
+    bg.b = jnp.zeros((7, 3))   # mismatched leading dim
+    out = broadcast_hyperparams(bg)
+    # no x0 => no auto-Share: the mismatched leaf passes through unwrapped
+    assert not isinstance(out.b, Shared)

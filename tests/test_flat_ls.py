@@ -601,3 +601,23 @@ def test_batched_algorithm_check_every_reaches_flat_machines():
     z8, k8, d8 = s8(**kw)
     assert np.array_equal(np.asarray(k1), np.asarray(k8))
     assert np.array_equal(np.asarray(z1), np.asarray(z8))
+
+
+def test_blocked_flat_machines_validate_inputs():
+    """check_every < 1 must raise (fori(0,0) would silently skip the whole
+    solve), and an explicit trip_cap cannot combine with blocking (the cap
+    is only checked at block boundaries, breaking exactness)."""
+    from proxtpu.ops.linops import IdentityOperator
+    from proxtpu.prox import LeastSquaresLoss
+
+    A, b, lam, Lf = problems(5)
+    f = jax.vmap(LeastSquaresLoss)(A, b)
+    g = NormL1(lam)
+    x0 = jnp.zeros((B, N))
+    gam = 0.95 / Lf
+    fid = jax.vmap(lambda _: IdentityOperator())(jnp.arange(B))
+    with pytest.raises(ValueError, match="check_every"):
+        batched_panoc(f, fid, g, x0, gam, 1e-5, maxit=50, check_every=0)
+    with pytest.raises(ValueError, match="trip_cap"):
+        batched_panoc(f, fid, g, x0, gam, 1e-5, maxit=50,
+                      trip_cap=10, check_every=8)

@@ -125,3 +125,21 @@ def test_multitask_lasso_example():
     assert out["iterations"] < 2000
     out2 = mod.main(verbose=False)
     assert np.array_equal(out["X"], out2["X"])  # deterministic
+
+
+def test_robust_pca_example():
+    """Robust PCA via Davis-Yin on a TUPLE iterate (L, S): recovers the
+    true rank, hits every injected sparse corruption with no false
+    positives, and the low-rank error is small."""
+    import importlib.util
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(DOCS), "examples", "robust_pca.py")
+    spec = importlib.util.spec_from_file_location("rpca_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["rank"] == out["true_rank"]
+    assert np.array_equal(out["support_hat"], out["support_true"])
+    assert out["iterations"] < 5000

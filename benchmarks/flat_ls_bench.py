@@ -6,7 +6,11 @@ iteration (675 p/s measured r2); the flat machine pays one oracle
 evaluation per trip (accepted trial or halving).  Both variants measured
 back-to-back in one process (the tunnel wanders ~25% between processes).
 
-Usage: python benchmarks/flat_ls_bench.py [--quick]
+Usage: python benchmarks/flat_ls_bench.py [--quick] [--blocking]
+
+``--blocking`` instead measures check_every trip blocking on the flat
+machines (K=1 vs K=8; results_blocking.jsonl): exact semantics, the K>1
+variants only amortize the per-while-trip pipeline quantum.
 """
 
 import json
@@ -82,8 +86,46 @@ def timed(tag, run, reps):
     return z, rec
 
 
+def blocking_sweep(reps):
+    """check_every K=1 vs K=8 on the flat machines + the adaptive-gamma
+    machine, back-to-back (committed as results_blocking.jsonl)."""
+    from proxtpu.parallel.adaptive_batch import batched_adaptive_fista
+    from proxtpu.prox import LeastSquaresLoss
+
+    As, bs, lams, Lfs = gen_problems(BATCH)
+    f = jax.vmap(SqrDistance)(jnp.asarray(bs))
+    g = jax.vmap(NormL1)(jnp.asarray(lams))
+    A = jnp.asarray(As)
+    x0 = jnp.zeros((BATCH, N), DTYPE)
+    Lf = jnp.asarray(Lfs)
+    Aop = MatrixOperator(A)
+    fq = jax.vmap(LeastSquaresLoss)(A, jnp.asarray(bs))
+
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
+          flush=True)
+    runs = {}
+    for K in (1, 8):
+        runs[f"flat_zerofpr_K{K}"] = lambda K=K: batched_zerofpr(
+            f, Aop, g, x0, 0.95 / Lf, TOL, maxit=MAXIT, check_every=K)
+        runs[f"flat_panoc_K{K}"] = lambda K=K: batched_panoc(
+            f, Aop, g, x0, 0.95 / Lf, TOL, maxit=MAXIT, check_every=K)
+        runs[f"flat_adaptive_fista_K{K}"] = lambda K=K: (
+            batched_adaptive_fista(fq, g, x0, TOL, maxit=4 * MAXIT,
+                                   check_every=K))
+    sols = {}
+    for tag, run in runs.items():
+        sols[tag], _ = timed(tag, run, reps)
+    for base in ("flat_zerofpr", "flat_panoc", "flat_adaptive_fista"):
+        gap = float(np.max(np.abs(sols[f"{base}_K1"] - sols[f"{base}_K8"])))
+        print(json.dumps({"solver": base, "max_abs_gap_K1_vs_K8": gap}),
+              flush=True)
+
+
 def main():
     quick = "--quick" in sys.argv
+    if "--blocking" in sys.argv:
+        blocking_sweep(3 if quick else 5)
+        return
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):

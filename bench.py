@@ -90,7 +90,6 @@ def run_jax(As, bs, lams, Lfs):
 
     from proxtpu.kernels.lasso import (
         solve_lasso_batch,
-        solve_lasso_batch_blocked,
     )
 
     platform = jax.devices()[0].platform

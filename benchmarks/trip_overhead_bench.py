@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from proxtpu.kernels.lasso import (
     _fista_full_step_kernel,
     fused_fb_prox_grad,
-    fused_fista_full_step,
     solve_lasso_batch,
 )
 

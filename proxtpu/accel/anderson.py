@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from ..prox.base import proxclass
-from ..utils.tree import tree_map
 from .base import QUASI_NEWTON
 from .flatten import flatten_like, unflatten_like
 

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..accel.base import NESTEROV, NO_ACCELERATION, QUASI_NEWTON
+from ..accel.base import NESTEROV, QUASI_NEWTON
 from ..accel.lbfgs import LBFGS
 from ..prox.base import (
     Zero,

@@ -9,7 +9,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
-from ..ops.linops import as_linop
 from ..prox.base import prox, value_and_gradient
 from ..utils.fb_tools import lower_bound_smoothness_constant
 from ..utils.tree import tree_map, tree_neg, tree_sub, tree_where

@@ -31,7 +31,6 @@ from ..utils.tree import (
     tree_norm_sq,
     tree_sub,
     tree_vdot_real,
-    tree_where,
     tree_zeros_like,
 )
 from .common import astree, real_dtype, rscalar

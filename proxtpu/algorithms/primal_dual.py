@@ -20,7 +20,6 @@ import math
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.linops import IdentityOperator, ZeroOperator, as_linop
 from ..prox.base import (

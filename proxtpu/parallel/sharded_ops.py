@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.linops import MatrixOperator
 from ..prox.base import proxclass
 from ..utils.precision import pdot
 

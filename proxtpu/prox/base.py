@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.tree import tree_conj, tree_zeros_like
+from ..utils.tree import tree_zeros_like
 
 
 def proxclass(cls=None, *, meta_fields=()):

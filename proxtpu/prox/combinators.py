@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils.tree import real_dtype_of, tree_map, tree_scale, tree_sub, tree_vdot_real
+from ..utils.tree import tree_map, tree_scale, tree_sub, tree_vdot_real
 from .base import proxclass
 
 

@@ -26,7 +26,7 @@ from ..utils.tree import (
     tree_sub,
     tree_vdot_real,
 )
-from .base import Zero, proxclass
+from .base import proxclass
 from ..utils.precision import pdot
 
 

@@ -26,6 +26,7 @@ from .batch import (
     BatchedAlgorithm,
     batch_problems,
     batched_run_loop,
+    batched_run_segments,
     broadcast_hyperparams,
     compacting_batched_run,
     stack_iterations,
@@ -66,6 +67,7 @@ __all__ = [
     "batched_zerofpr",
     "batch_problems",
     "batched_run_loop",
+    "batched_run_segments",
     "broadcast_hyperparams",
     "compacting_batched_run",
     "stack_iterations",

@@ -256,6 +256,73 @@ def _default_vsol(it, s):
     )(it, s)
 
 
+def batched_run_segments(iteration, maxit, tol, *, segment, stop=None,
+                         solution=None, callback=None, resume=None):
+    """Segmented batched run: checkpoint/resume for long batched sweeps.
+
+    Semantically identical to :func:`batched_run_loop` (the same
+    ``_chunk_loop`` core advances the batch, so per-lane counts and
+    solutions match exactly), but the while loop is cut into host-level
+    segments of ``segment`` iterations.  After each segment ``callback``
+    (if given) receives a snapshot dict — pass it to
+    :func:`proxtpu.utils.checkpoint.save_state` to persist a long run;
+    ``resume=snapshot`` restarts exactly where a previous run stopped.
+
+    Costs one host sync per segment (the axon-tunnel measurement in
+    BASELINE.md puts that at ~100 ms per boundary — size segments
+    accordingly; on locally-attached hardware the sync is ~1 ms).
+
+    The snapshot layout is ``{"state": <batched state pytree>,
+    "k": int, "done": (B,) bool, "iters": (B,) int32}``.
+
+    Returns ``(solutions, iters, done)`` like ``batched_run_loop``.
+    """
+    if segment < 1:
+        raise ValueError(f"segment must be >= 1, got {segment}")
+    stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
+    solution_ = solution or (lambda it, s: it.default_solution(s))
+
+    iteration = broadcast_hyperparams(iteration)
+    it_axes = batch_axes(iteration)
+
+    if resume is None:
+        state = jax.vmap(
+            lambda it: unwrap_shared(it).init(), in_axes=(it_axes,)
+        )(iteration)
+        done = jax.vmap(
+            lambda it, s: stop_(unwrap_shared(it), tol, s),
+            in_axes=(it_axes, 0),
+        )(iteration, state)
+        k = jnp.asarray(1, jnp.int32)
+        iters = jnp.ones(done.shape, jnp.int32)
+    else:
+        state = resume["state"]
+        k = jnp.asarray(resume["k"], jnp.int32)
+        done = jnp.asarray(resume["done"])
+        iters = jnp.asarray(resume["iters"], jnp.int32)
+
+    while True:
+        k, state, done, iters = _chunk_loop(
+            iteration, state, k, done, iters, segment, maxit, tol, stop,
+        )
+        done_h = np.asarray(done)  # the per-segment host sync
+        k_h = int(k)
+        if callback is not None:
+            callback({"state": state, "k": k_h, "done": done,
+                      "iters": iters})
+        if done_h.all() or k_h >= maxit:
+            break
+
+    return (
+        jax.vmap(
+            lambda it, s: solution_(unwrap_shared(it), s),
+            in_axes=(it_axes, 0),
+        )(iteration, state),
+        iters,
+        done,
+    )
+
+
 def _bucket(n, min_batch):
     b = max(min_batch, 1)
     while b < n:

@@ -143,3 +143,20 @@ def test_robust_pca_example():
     assert out["rank"] == out["true_rank"]
     assert np.array_equal(out["support_hat"], out["support_true"])
     assert out["iterations"] < 5000
+
+
+def test_phase_retrieval_example():
+    """Complex nonconvex phase retrieval: adaptive ZeroFPR recovers the
+    signal (up to global phase) from a spectral init in far fewer
+    iterations than fixed-step gradient descent."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "phase_retrieval.py")
+    spec = importlib.util.spec_from_file_location("pr_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["rel_error"] < 1e-6
+    assert out["iterations"] < 200
+    assert out["iterations"] < out["iterations_gd"] / 10

@@ -531,8 +531,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             # shared design matrix, many right-hand sides -> the MXU-matmul
             # formulation (solve_lasso_multirhs)
             B = b.shape[0]
-            flam = jnp.asarray(getattr(f, "lam", 1.0))
-            if not bool(jnp.all(flam == 1.0)):
+            flam = np.asarray(getattr(f, "lam", 1.0))
+            if not bool(np.all(flam == 1.0)):
                 return None
             lam = _scalar_or_vec(g.lam, B, A.dtype)
             Lf, gamma = kwargs.get("Lf"), kwargs.get("gamma")
@@ -562,8 +562,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
             return None
         B = A.shape[0]
-        flam = jnp.asarray(getattr(f, "lam", 1.0))
-        if not bool(jnp.all(flam == 1.0)):
+        flam = np.asarray(getattr(f, "lam", 1.0))
+        if not bool(np.all(flam == 1.0)):
             return None
         lam = _scalar_or_vec(g.lam, B, A.dtype)
         if lam is None:
@@ -637,9 +637,12 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         if Q.ndim != 3 or q.ndim != 2 or Q.shape[1] != Q.shape[2]:
             return None
         B = Q.shape[0]
-        lo, hi = jnp.asarray(g.low), jnp.asarray(g.high)
+        # host-side value check: jnp.asarray + bool() would cost two
+        # device round-trips PER CALL (~70 ms on the axon tunnel — measured
+        # to double the dispatch latency of a 35 ms box-QP solve)
+        lo, hi = np.asarray(g.low), np.asarray(g.high)
         if lo.ndim != 0 or hi.ndim != 0 or not (
-            bool(jnp.isfinite(lo)) and bool(jnp.isfinite(hi))
+            bool(np.isfinite(lo)) and bool(np.isfinite(hi))
         ):
             return None
         gamma = kwargs.get("gamma")

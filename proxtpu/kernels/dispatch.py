@@ -153,9 +153,13 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
         # factory semantics: gamma derives from Lf first, then
         # adaptive defaults to (gamma is None)
         adaptive = gamma is None and Lf is None
-    if not panocplus and (adaptive or (gamma is None and Lf is None)):
-        # PANOC/ZeroFPR flat machines are fixed-stepsize only; PANOCplus
-        # interleaves the gamma search in the lanes and handles adaptive
+    panoc = name == "make_panoc_iteration"
+    if not (panocplus or panoc) and (
+        adaptive or (gamma is None and Lf is None)
+    ):
+        # the ZeroFPR flat machine is fixed-stepsize only; PANOCplus
+        # interleaves the gamma search in the lanes, and adaptive PANOC
+        # has its own two-mode flat machine (_flat_panoc_adaptive_run)
         return None
     x0 = kwargs.get("x0")
     f, g = kwargs.get("f"), kwargs.get("g")
@@ -234,6 +238,15 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
             adaptive=bool(adaptive) or gamma_v is None,
             minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
         )
+    elif panoc and (bool(adaptive) or gamma_v is None):
+        extra = dict(
+            adaptive=True,
+            minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
+        )
+        if gamma_v is None:
+            # driver cold start: per-lane Lipschitz lower bound in-graph
+            extra["estimate_gamma"] = True
+            gamma_v = jnp.ones((B,), R)
 
     return lambda: runner(
         f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,

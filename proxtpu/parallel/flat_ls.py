@@ -28,10 +28,12 @@ Semantics are pinned per lane against the single-problem driver
 commit after ``max_backtracks`` halvings (``panoc.jl:204-250``), iteration
 counts (init counts as iteration 1) and solutions.
 
-Fixed stepsize only (``gamma``/``Lf`` given): the adaptive variants
-additionally gamma-backtrack per iteration and still route to the bounded
-lowering.  Iterates are stacked 2-D ``(B, n)`` arrays; f/g/A are
-vmap-stacked pytrees (every array leaf carries the batch axis).
+Adaptive stepsizes: PANOCplus interleaves its gamma search in the lanes
+(``_flat_panocplus_run``), and adaptive PANOC has a two-mode machine
+(``_flat_panoc_adaptive_run``: per-lane gamma-search / tau-search phases,
+one oracle round per trip either way).  Adaptive ZeroFPR still routes to
+the bounded lowering.  Iterates are stacked 2-D ``(B, n)`` arrays; f/g/A
+are vmap-stacked pytrees (every array leaf carries the batch axis).
 """
 
 from __future__ import annotations
@@ -505,6 +507,352 @@ def _dot_real_unconj(a, b):
     d = jnp.sum(a * b, axis=1)
     return d.real if jnp.iscomplexobj(d) else d
 
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap",
+                     "check_every", "estimate_gamma"),
+)
+def _flat_panoc_adaptive_run(
+    f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
+    directions, minimum_gamma, estimate_gamma=False, trip_cap=None,
+    check_every=1,
+):
+    """Flattened batched ADAPTIVE PANOC (gamma backtracking + tau search).
+
+    The driver's step is a gamma-search at the iteration's base point
+    (``fb_tools.jl:24-63`` via ``panoc.jl:141-163``) followed by the FBE
+    tau-search; the bounded lowering pays ``backtrack_limit +
+    max_backtracks`` masked trials per iteration for it.  This machine
+    flattens BOTH searches into the outer loop with a per-lane mode flag:
+
+    * mode G (gamma search): the pending trip holds FB candidates and
+      ``f(Az)`` at the gamma under test; a failing lane halves gamma and
+      re-evaluates (one prox + one forward matvec + one f eval); a passing
+      lane seals the iteration's gamma (resetting its quasi-Newton state
+      iff gamma changed, ``panoc.jl:160-162``), computes its direction,
+      and evaluates the tau=1 trial (one forward matvec + f + adjoint +
+      prox) — entering mode T;
+    * mode T (tau search): exactly the fixed-gamma machine's trial/commit
+      body; a committing lane advances its iterate, updates its direction
+      state, and evaluates the FIRST gamma trial of its next iteration
+      (``f(Az)`` at the incoming gamma — the driver's
+      ``backtrack_stepsize`` entry test) — re-entering mode G.
+
+    Every trip spends the same one-matvec-pair budget per lane regardless
+    of mode.  Per-lane gamma decisions, counts, and solutions match the
+    single-problem ``PANOC(adaptive=True)`` driver (pinned in
+    ``tests/test_flat_ls.py`` with the same tolerance discipline as the
+    other flat machines).
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    eps = eps_of(x0)
+    quad = is_generalized_quadratic(f)
+    vvg, vprox, vmv, vrmv, vinit, vupdate, vapply = _make_vmapped(
+        f, A, g, directions
+    )
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+    if qn:
+        vreset = jax.vmap(lambda ds: directions.reset(ds))
+
+    def vdirection(dstate, v):
+        return -vapply(dstate, v) if qn else -v
+
+    def fmodel(f_x, At_g, res, gam):
+        return _f_model(f_x, At_g, res, alpha / gam)
+
+    # --- init: forward_backward_init at x0 (``panoc.jl:91-109``) and the
+    # first gamma-trial evaluation (the driver's backtrack entry test)
+    Ax0 = vmv(A, x0)
+    f0, gr0 = vvg(f, Ax0)
+    Atg0 = vrmv(A, gr0)
+    if estimate_gamma:
+        _, gr_eps = vvg(f, vmv(A, x0 + 1))
+        L_est = jnp.sqrt(_norm_sq(vrmv(A, gr_eps - gr0))) / jnp.sqrt(
+            jnp.asarray(float(n), R)
+        )
+        gamma = alpha / L_est
+    gcol0 = gamma[:, None]
+    y0 = x0 - gcol0 * Atg0
+    z0, gz0 = vprox(g, y0, gamma)
+    res0 = x0 - z0
+    done0 = _inf_norm(res0) / gamma <= tol
+    Az0 = vmv(A, z0)
+    f_Az0, gr_Az0 = vvg(f, Az0)
+    upp0 = fmodel(f0, Atg0, res0, gamma)
+
+    dstate0 = vinit(x0)
+    zeros_m = jnp.zeros_like(Ax0)
+    zeros_s = jnp.zeros((B,), R)
+    s = dict(
+        # accepted-iterate base + its caches (mode G works from these)
+        x_b=x0, Ax_b=Ax0, f_b=f0, Atg_b=Atg0,
+        z_b=z0, gz_b=gz0, res_b=res0, upp=upp0,
+        gamma=gamma, gamma_prev=gamma,
+        in_g=jnp.ones((B,), bool),
+        thr=zeros_s,
+        # tau-search context (valid in mode T)
+        x_d=x0, Ax_d=Ax0, f_d=f0, gr_d=gr0, Atg_d=Atg0,
+        Az=Az0, f_Az=f_Az0, gr_Az=gr_Az0,
+        At_gz=jnp.zeros_like(x0),
+        a=zeros_s, b=zeros_s, c=zeros_s,
+        abc_valid=jnp.zeros((B,), bool),
+        dstate=dstate0,
+        tau=jnp.ones((B,), R), bt=jnp.ones((B,), jnp.int32),
+        xT=x0, AxT=Ax0, f_T=f0, gr_T=gr0, Atg_T=Atg0,
+        zT=z0, gzT=gz0, resT=res0, fbeT=zeros_s,
+        z_sol=z0, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 3) + 128
+        if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        gamma = s["gamma"]
+        gcol = gamma[:, None]
+
+        # ------------------------------------------------ mode G decision
+        slack_g = 10 * eps * (1 + jnp.abs(s["f_Az"]))
+        acc_g = (s["f_Az"] <= s["upp"] + slack_g) | (gamma < minimum_gamma)
+        halveG = s["in_g"] & jnp.logical_not(acc_g) & active
+        accG = s["in_g"] & acc_g & active
+
+        # ------------------------------------------------ mode T decision
+        in_t = jnp.logical_not(s["in_g"])
+        accept_t = (s["fbeT"] <= s["thr"]) | (s["bt"] > max_backtracks)
+        commit = in_t & accept_t & active
+        halveT = in_t & jnp.logical_not(accept_t) & active
+
+        # --- direction-state bookkeeping: commit updates (``panoc.jl:252``),
+        # gamma-accept resets iff gamma changed (``panoc.jl:160-162``)
+        if qn:
+            dstate = _bwhere(
+                commit,
+                vupdate(s["dstate"], s["xT"] - s["x_b"],
+                        s["resT"] - s["res_b"]),
+                s["dstate"],
+            )
+            dstate = _bwhere(
+                accG & (gamma != s["gamma_prev"]), vreset(dstate), dstate
+            )
+        else:
+            dstate = s["dstate"]
+
+        # accG lanes seal this gamma: threshold + direction + tau=1 trial
+        sigma = beta * (0.5 / gamma) * (1 - alpha)
+        fbe_x = s["upp"] + s["gz_b"]
+        thr_acc = fbe_x - sigma * _norm_sq(s["res_b"]) + 10 * eps * (
+            1 + jnp.abs(fbe_x)
+        )
+        d_new = vdirection(dstate, s["res_b"])
+
+        # halveG lanes: fresh FB candidates at gamma/2 (prox slot)
+        gam_h = gamma * 0.5
+        accGc = accG[:, None]
+        halveGc = halveG[:, None]
+        commitc = commit[:, None]
+
+        # ---------------- the ONE uniform oracle round, inputs per lane
+        # forward matvec: accG -> d (tau=1 endpoint), halveG -> z at
+        # gamma/2, commit -> zT (next iteration's first gamma trial),
+        # halveT -> z_b (lazy Az materialization, fixed-machine pattern)
+        y_h = s["x_b"] - gam_h[:, None] * s["Atg_b"]
+        gam_for_prox = jnp.where(halveG, gam_h, gamma)
+        zh, gzh = vprox(g, jnp.where(halveGc, y_h, s["x_b"]), gam_for_prox)
+        # (the non-halveG lanes' prox input is a placeholder; their prox
+        # outputs are never read this round — the REAL tau=1 prox for accG
+        # lanes happens below, after the adjoint)
+        res_h = s["x_b"] - zh
+        upp_h = fmodel(s["f_b"], s["Atg_b"], res_h, gam_h)
+
+        mv_in = jnp.where(
+            accGc, d_new,
+            jnp.where(halveGc, zh, jnp.where(commitc, s["zT"], s["z_b"])),
+        )
+        Av = vmv(A, mv_in)
+        x_d = jnp.where(accGc, s["x_b"] + d_new, s["x_d"])
+        Ax_d = jnp.where(accGc, s["Ax_b"] + Av, s["Ax_d"])
+
+        # Az cache: halveG -> fresh Az(gamma/2); commit -> Az(zT);
+        # halveT without cache -> lazily materialized now
+        need_lazy = halveT & jnp.logical_not(s["abc_valid"])
+        Az = jnp.where(
+            (halveG | commit | need_lazy)[:, None], Av, s["Az"]
+        )
+
+        # f evaluation input: accG -> Ax_d; G-halve/commit/lazy -> Az;
+        # halveT(quad, cached) -> Az (value discarded); halveT(nonquad) ->
+        # the trial point AxT (computed below) — handled in the branch
+        tau = jnp.where(
+            commit | accG, jnp.ones((), R),
+            jnp.where(
+                halveT & (s["bt"] >= max_backtracks), jnp.zeros((), R),
+                jnp.where(halveT, s["tau"] / 2, s["tau"]),
+            ),
+        )
+        tcol = tau[:, None]
+        z_lin = jnp.where(commitc, s["zT"], s["z_b"])
+        xT = jnp.where(
+            accGc, x_d,
+            jnp.where(commitc, s["xT"],
+                      tcol * s["x_d"] + (1 - tcol) * z_lin),
+        )
+        AxT = jnp.where(
+            accGc, Ax_d,
+            jnp.where(commitc, s["AxT"],
+                      tcol * s["Ax_d"] + (1 - tcol) * Az),
+        )
+
+        if quad:
+            fin = jnp.where(accGc, Ax_d, Az)
+            f_val, f_gr = vvg(f, fin)
+            # update the interp cache from whatever this round evaluated
+            f_d = jnp.where(accG, f_val, s["f_d"])
+            gr_d = jnp.where(accGc, f_gr, s["gr_d"])
+            f_Az_new = jnp.where(accG, s["f_Az"], f_val)
+            gr_Az_new = jnp.where(accGc, s["gr_Az"], f_gr)
+            # adjoint: accG -> at gr(Ax_d); halveT needing interp -> at
+            # gr_Az (to build At_gz); others -> placeholder (discarded)
+            gin = jnp.where(accGc, f_gr, gr_Az_new)
+            Atg = vrmv(A, gin)
+            Atg_d = jnp.where(accGc, Atg, s["Atg_d"])
+            At_gz = jnp.where(
+                (halveT & jnp.logical_not(s["abc_valid"]))[:, None]
+                | halveGc | commitc,
+                jnp.where(accGc, s["At_gz"], Atg),
+                s["At_gz"],
+            )
+            cc = jnp.where(halveT & s["abc_valid"], s["c"], f_Az_new)
+            bb = jnp.where(
+                halveT & s["abc_valid"], s["b"],
+                _vdot(s["Ax_d"], gr_Az_new) - _vdot(Az, gr_Az_new),
+            )
+            aa = jnp.where(
+                halveT & s["abc_valid"], s["a"], s["f_d"] - bb - cc
+            )
+            f_T = jnp.where(
+                accG, f_val,
+                jnp.where(halveT, aa * tau**2 + bb * tau + cc, s["f_T"]),
+            )
+            gr_T = jnp.where(
+                accGc, f_gr,
+                jnp.where(halveT[:, None],
+                          tcol * s["gr_d"] + (1 - tcol) * gr_Az_new,
+                          s["gr_T"]),
+            )
+            Atg_T = jnp.where(
+                accGc, Atg,
+                jnp.where(halveT[:, None],
+                          tcol * s["Atg_d"] + (1 - tcol) * At_gz,
+                          s["Atg_T"]),
+            )
+            abc_valid = (halveT & True) | (s["abc_valid"] & in_t)
+        else:
+            fin = jnp.where(accGc, Ax_d,
+                            jnp.where(halveT[:, None], AxT, Az))
+            f_val, f_gr = vvg(f, fin)
+            Atg = vrmv(A, f_gr)
+            f_d = jnp.where(accG, f_val, s["f_d"])
+            gr_d = jnp.where(accGc, f_gr, s["gr_d"])
+            Atg_d = jnp.where(accGc, Atg, s["Atg_d"])
+            f_Az_new = jnp.where((halveG | commit), f_val, s["f_Az"])
+            gr_Az_new = jnp.where((halveG | commit)[:, None], f_gr,
+                                  s["gr_Az"])
+            f_T = jnp.where(accG | halveT, f_val, s["f_T"])
+            gr_T = jnp.where((accG | halveT)[:, None], f_gr, s["gr_T"])
+            Atg_T = jnp.where((accG | halveT)[:, None], Atg, s["Atg_T"])
+            At_gz = s["At_gz"]
+            aa, bb, cc = s["a"], s["b"], s["c"]
+            abc_valid = s["abc_valid"]
+
+        # G-mode rounds evaluated f at Az (halveG/commit): record f_Az
+        if quad:
+            f_Az_final = jnp.where((halveG | commit), f_val, f_Az_new)
+            gr_Az_final = jnp.where((halveG | commit)[:, None], f_gr,
+                                    gr_Az_new)
+        else:
+            f_Az_final, gr_Az_final = f_Az_new, gr_Az_new
+
+        # tau-trial completion for accG + halveT lanes (prox slot #2 is
+        # folded into the same vprox call? no — one prox per trip: the
+        # halveG lanes used it above; accG/halveT lanes run theirs here.
+        # Both groups are disjoint, so ONE more call keeps the per-trip
+        # budget at a single prox only when no lane is in the other phase;
+        # mixed batches pay two proxes (cheap elementwise) but still one
+        # matvec pair.
+        yT = xT - gcol * Atg_T
+        zT, gzT = vprox(g, yT, gamma)
+        resT = xT - zT
+        fbeT = fmodel(f_T, Atg_T, resT, gamma) + gzT
+
+        # ----------------------------------------- state transitions
+        newly_done = commit & (_inf_norm(s["resT"]) / gamma <= tol)
+
+        new = dict(
+            x_b=jnp.where(commitc, s["xT"], s["x_b"]),
+            Ax_b=jnp.where(commitc, s["AxT"], s["Ax_b"]),
+            f_b=jnp.where(commit, s["f_T"], s["f_b"]),
+            Atg_b=jnp.where(commitc, s["Atg_T"], s["Atg_b"]),
+            z_b=jnp.where(
+                commitc, s["zT"], jnp.where(halveGc, zh, s["z_b"])
+            ),
+            gz_b=jnp.where(
+                commit, s["gzT"], jnp.where(halveG, gzh, s["gz_b"])
+            ),
+            res_b=jnp.where(
+                commitc, s["resT"], jnp.where(halveGc, res_h, s["res_b"])
+            ),
+            upp=jnp.where(
+                commit,
+                fmodel(s["f_T"], s["Atg_T"], s["resT"], gamma),
+                jnp.where(halveG, upp_h, s["upp"]),
+            ),
+            gamma=jnp.where(halveG, gam_h, gamma),
+            gamma_prev=jnp.where(accG, gamma, s["gamma_prev"]),
+            in_g=jnp.where(commit | halveG, True,
+                           jnp.where(accG, False, s["in_g"])),
+            thr=jnp.where(accG, thr_acc, s["thr"]),
+            x_d=x_d, Ax_d=Ax_d, f_d=f_d, gr_d=gr_d, Atg_d=Atg_d,
+            Az=Az, f_Az=f_Az_final, gr_Az=gr_Az_final, At_gz=At_gz,
+            a=aa, b=bb, c=cc, abc_valid=abc_valid,
+            dstate=dstate,
+            tau=tau,
+            bt=jnp.where(accG, 1,
+                         jnp.where(halveT, s["bt"] + 1, s["bt"])),
+            xT=xT, AxT=AxT, f_T=f_T, gr_T=gr_T, Atg_T=Atg_T,
+            zT=jnp.where((accG | halveT)[:, None], zT, s["zT"]),
+            gzT=jnp.where(accG | halveT, gzT, s["gzT"]),
+            resT=jnp.where((accG | halveT)[:, None], resT, s["resT"]),
+            fbeT=jnp.where(accG | halveT, fbeT, s["fbeT"]),
+            z_sol=jnp.where(commitc, s["zT"], s["z_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = _blocked_while(cond, body, s, check_every)
+    return s["z_sol"], s["k"], s["done"]
 
 @partial(
     jax.jit,
@@ -1024,15 +1372,18 @@ def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
 
 def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                   beta=0.5, max_backtracks=20, directions=None,
-                  trip_cap=None, check_every=1):
-    """Flattened batched fixed-stepsize PANOC (one oracle evaluation per
-    loop trip; see module docstring).
+                  trip_cap=None, check_every=1, adaptive=False,
+                  minimum_gamma=1e-7, estimate_gamma=False):
+    """Flattened batched PANOC — fixed (default) or adaptive stepsize
+    (one oracle evaluation per loop trip; see module docstring and
+    ``_flat_panoc_adaptive_run``).
 
     ``f``/``g``: vmap-stacked function pytrees; ``A``: vmap-stacked linop;
-    ``x0``: (B, n); ``gamma``: scalar or (B,) stepsizes.
+    ``x0``: (B, n); ``gamma``: scalar or (B,) stepsizes (for adaptive, the
+    search start; ``estimate_gamma=True`` derives it per lane like the
+    driver's cold start).
     Returns ``(z, iters, done)`` with per-lane accepted-iteration counts
-    equal to the single-problem ``PANOC(gamma=..., adaptive=False)``
-    driver's.
+    equal to the single-problem ``PANOC(...)`` driver's.
     """
     from ..accel.lbfgs import LBFGS
 
@@ -1046,6 +1397,14 @@ def batched_panoc(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
             "check_every > 1 cannot honor an explicit trip_cap exactly "
             "(the cap is only checked at block boundaries); set one or "
             "the other"
+        )
+    if adaptive:
+        return _flat_panoc_adaptive_run(
+            f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
+            int(max_backtracks), directions,
+            jnp.asarray(minimum_gamma, R),
+            estimate_gamma=bool(estimate_gamma), trip_cap=trip_cap,
+            check_every=int(check_every),
         )
     return _flat_panoc_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),

@@ -455,10 +455,21 @@ def test_batched_algorithm_routes_panoc_to_flat():
     assert match_flat_linesearch(
         make_panoc_iteration, kwargs, tol=TOL, maxit=500
     ) is not None
-    # adaptive or custom stop falls back
+    # adaptive PANOC now routes to its two-mode flat machine; adaptive
+    # ZeroFPR has no flat machine and falls back, as does a custom stop
     assert match_flat_linesearch(
         make_panoc_iteration, {**kwargs, "adaptive": True},
         tol=TOL, maxit=500,
+    ) is not None
+    from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
+
+    assert match_flat_linesearch(
+        make_zerofpr_iteration, {**kwargs, "adaptive": True},
+        tol=TOL, maxit=500,
+    ) is None
+    assert match_flat_linesearch(
+        make_panoc_iteration, kwargs, tol=TOL, maxit=500,
+        stop=lambda it, tol, s: it.default_stopping_criterion(tol, s),
     ) is None
 
     auto = BatchedAlgorithm(make_panoc_iteration, maxit=500, tol=TOL)
@@ -621,3 +632,122 @@ def test_blocked_flat_machines_validate_inputs():
     with pytest.raises(ValueError, match="trip_cap"):
         batched_panoc(f, fid, g, x0, gam, 1e-5, maxit=50,
                       trip_cap=10, check_every=8)
+
+
+@pytest.mark.parametrize("gamma_mult", [10.0, 1.0])
+def test_flat_panoc_adaptive_quad(gamma_mult):
+    """Adaptive flat PANOC on quadratic f: per-lane gamma decisions,
+    counts, and solutions match the single PANOC(adaptive=True) driver
+    exactly (gamma_mult=10 forces real backtracking; 1.0 accepts the
+    initial gamma immediately)."""
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    gamma0 = gamma_mult * 0.95 / Lf
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=1000,
+        adaptive=True,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=1000)
+    for i in range(B):
+        x, k = solver(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                      g=NormL1(lam[i]), gamma=float(gamma0[i]),
+                      adaptive=True)
+        assert int(k) == int(iters[i]), (i, k, iters[i])
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-9
+        )
+
+
+def test_flat_panoc_adaptive_nonquad_zip():
+    """Non-quadratic adaptive PANOC: short fixed-horizon zip at 1e-11
+    trajectory accuracy (long-horizon counts are knife-edge chaotic, same
+    discipline as the fixed machines), then full solves at physical
+    accuracy; check_every blocking stays bit-exact."""
+    from proxtpu.algorithms.panoc import make_panoc_iteration
+
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((B, M, N)) * 0.5)
+    lam = jnp.full((B,), 0.05)
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) / 4
+         for i in range(B)]
+    )
+    f = jax.vmap(LogisticLoss)(jnp.ones((B,)))
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    gamma0 = 8.0 * 0.95 / Lf
+
+    singles = []
+    for i in range(B):
+        it = make_panoc_iteration(
+            x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i], g=NormL1(lam[i]),
+            gamma=float(gamma0[i]), adaptive=True,
+        )
+        s = it.init()
+        traj = [np.asarray(s.z)]
+        for _ in range(14):
+            s = it.step(s)
+            traj.append(np.asarray(s.z))
+        singles.append(traj)
+    for k in (1, 5, 15):
+        z, iters, _ = batched_panoc(
+            f, Aop, g, jnp.zeros((B, N)), gamma0, 0.0, maxit=k,
+            adaptive=True,
+        )
+        assert all(int(i) == k for i in iters)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(z[i]), singles[i][k - 1], rtol=0, atol=1e-10
+            )
+
+    z, iters, done = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=2000,
+        adaptive=True,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=2000)
+    for i in range(B):
+        x, _ = solver(x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i],
+                      g=NormL1(lam[i]), gamma=float(gamma0[i]),
+                      adaptive=True)
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=2e-4
+        )
+
+    z8, it8, d8 = batched_panoc(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=2000,
+        adaptive=True, check_every=8,
+    )
+    assert np.array_equal(np.asarray(iters), np.asarray(it8))
+    assert np.array_equal(np.asarray(z), np.asarray(z8))
+
+
+def test_flat_panoc_adaptive_cold_start_dispatched():
+    """gamma=None adaptive PANOC (the driver's Lipschitz cold start) must
+    route through BatchedAlgorithm to the adaptive flat machine and match
+    single driver counts on the quadratic path."""
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    A, b, lam, Lf = problems(7)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    kw = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=Aop, adaptive=True)
+    assert match_flat_linesearch(
+        make_panoc_iteration, kw, tol=TOL, maxit=1000
+    ) is not None
+    zs, iters, done = BatchedAlgorithm(
+        make_panoc_iteration, maxit=1000, tol=TOL
+    )(**kw)
+    assert bool(jnp.all(done))
+    solver = pa.PANOC(tol=TOL, maxit=1000)
+    for i in range(B):
+        x, k = solver(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                      g=NormL1(lam[i]), adaptive=True)
+        assert abs(int(k) - int(iters[i])) <= 1, (i, k, iters[i])
+        np.testing.assert_allclose(
+            np.asarray(zs[i]), np.asarray(x), rtol=0, atol=1e-6
+        )

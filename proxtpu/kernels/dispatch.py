@@ -153,14 +153,10 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
         # factory semantics: gamma derives from Lf first, then
         # adaptive defaults to (gamma is None)
         adaptive = gamma is None and Lf is None
-    panoc = name == "make_panoc_iteration"
-    if not (panocplus or panoc) and (
-        adaptive or (gamma is None and Lf is None)
-    ):
-        # the ZeroFPR flat machine is fixed-stepsize only; PANOCplus
-        # interleaves the gamma search in the lanes, and adaptive PANOC
-        # has its own two-mode flat machine (_flat_panoc_adaptive_run)
-        return None
+    # every family handles adaptive now: PANOCplus interleaves the gamma
+    # search in the lanes; PANOC and ZeroFPR have two-mode flat machines
+    # (_flat_panoc_adaptive_run / _flat_zerofpr_adaptive_run)
+    panoc_like = name in ("make_panoc_iteration", "make_zerofpr_iteration")
     x0 = kwargs.get("x0")
     f, g = kwargs.get("f"), kwargs.get("g")
     if x0 is None or f is None or g is None:
@@ -238,7 +234,7 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
             adaptive=bool(adaptive) or gamma_v is None,
             minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
         )
-    elif panoc and (bool(adaptive) or gamma_v is None):
+    elif panoc_like and (bool(adaptive) or gamma_v is None):
         extra = dict(
             adaptive=True,
             minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),

@@ -501,6 +501,229 @@ def _flat_zerofpr_run(
     return s["z_sol"], s["k"], s["done"]
 
 
+
+@partial(
+    jax.jit,
+    static_argnames=("maxit", "max_backtracks", "directions", "trip_cap",
+                     "check_every", "estimate_gamma"),
+)
+def _flat_zerofpr_adaptive_run(
+    f, A, g, x0, gamma, tol, maxit, alpha, beta, max_backtracks,
+    directions, minimum_gamma, estimate_gamma=False, trip_cap=None,
+    check_every=1,
+):
+    """Flattened batched ADAPTIVE ZeroFPR (gamma backtracking + tau search).
+
+    Two per-lane modes, one matvec-pair oracle round per trip:
+
+    * mode G: the trip evaluates ``f(A xbar)`` for the pending gamma
+      candidates (matvec + f eval) and tests the quadratic model
+      (``fb_tools.jl:24-63``); a failing lane halves gamma and builds new
+      FB candidates from the cached base-point quantities (prox only); a
+      passing lane seals the iteration's gamma and performs the PREP work
+      in the same trip (adjoint at ``grad f(A xbar)``, ``res_xbar`` via
+      the uniform prox, deferred quasi-Newton update, direction,
+      ``zerofpr.jl:181-198``), entering mode T at tau=1;
+    * mode T: the fixed machine's TRIAL body (``x = xbar + tau d`` FBE
+      search, ``zerofpr.jl:200-217``); a committing lane becomes the next
+      iteration's base point and re-enters mode G with its trial
+      candidates (the driver's backtrack entry state).
+
+    Parity discipline matches the other flat machines (exact counts on
+    quadratic f, short-horizon zips + physical accuracy on non-quadratic;
+    ``tests/test_flat_ls.py``).
+    """
+    from ..accel.base import NO_ACCELERATION, QUASI_NEWTON
+
+    B, n = x0.shape
+    R = gamma.dtype
+    eps = eps_of(x0)
+    vvg, vprox, vmv, vrmv, vinit, vupdate, vapply = _make_vmapped(
+        f, A, g, directions
+    )
+    qn = directions.style == QUASI_NEWTON
+    if not qn and directions.style != NO_ACCELERATION:
+        raise ValueError(
+            f"direction style {directions.style!r} not supported"
+        )
+    if qn:
+        vreset = jax.vmap(lambda ds: directions.reset(ds))
+
+    def vdirection(dstate, v_qn, v_fb):
+        return -vapply(dstate, v_qn) if qn else -v_fb
+
+    def fmodel(f_x, At_g, res, gam):
+        return _f_model(f_x, At_g, res, alpha / gam)
+
+    # --- init: forward_backward_init at x0 (candidates at gamma0; the
+    # first G trip performs the driver's backtrack entry test)
+    Ax0 = vmv(A, x0)
+    f0, gr0 = vvg(f, Ax0)
+    Atg0 = vrmv(A, gr0)
+    if estimate_gamma:
+        _, gr_eps = vvg(f, vmv(A, x0 + 1))
+        L_est = jnp.sqrt(_norm_sq(vrmv(A, gr_eps - gr0))) / jnp.sqrt(
+            jnp.asarray(float(n), R)
+        )
+        gamma = alpha / L_est
+    gcol0 = gamma[:, None]
+    y0 = x0 - gcol0 * Atg0
+    xbar0, gxb0 = vprox(g, y0, gamma)
+    res0 = x0 - xbar0
+    done0 = _inf_norm(res0) / gamma <= tol
+    upp0 = fmodel(f0, Atg0, res0, gamma)
+
+    dstate0 = vinit(x0)
+    s = dict(
+        in_g=jnp.ones((B,), bool),
+        # committed base point + caches (gamma candidates derive from it)
+        x_b=x0, f_b=f0, Atg_b=Atg0,
+        # pending gamma candidates / accepted-iteration quantities
+        xbar=xbar0, g_xbar=gxb0, res=res0, upp=upp0,
+        gamma=gamma, gamma_prev=gamma,
+        Axbar=Ax0,  # valid after G-accept (set from the G-trip matvec)
+        thr=jnp.zeros((B,), R),
+        d=jnp.zeros_like(x0),
+        tau=jnp.ones((B,), R), bt=jnp.ones((B,), jnp.int32),
+        dstate=dstate0,
+        xbar_prev=xbar0, res_xbar_prev=res0,
+        is_prev_set=jnp.zeros((B,), bool),
+        z_sol=xbar0, k=jnp.ones((B,), jnp.int32), done=done0,
+        trips=jnp.asarray(0, jnp.int32),
+    )
+
+    cap = (
+        maxit * (max_backtracks + 3) + 128
+        if trip_cap is None else trip_cap
+    )
+
+    def cond(s):
+        return (s["trips"] < cap) & jnp.logical_not(
+            jnp.all(s["done"] | (s["k"] >= maxit))
+        )
+
+    def body(s):
+        active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
+        gamma = s["gamma"]
+        gcol = gamma[:, None]
+        in_g = s["in_g"]
+        in_t = jnp.logical_not(in_g)
+        gco = in_g[:, None]
+        tcol = s["tau"][:, None]
+
+        # --- one uniform oracle round: G feeds xbar, T feeds d
+        mv_in = jnp.where(gco, s["xbar"], s["d"])
+        Av = vmv(A, mv_in)
+        Axbar_g = Av  # for G lanes: A xbar of the pending candidates
+        x_t = jnp.where(
+            gco, s["xbar"], s["xbar"] + tcol * s["d"]
+        )
+        Ax_t = jnp.where(gco, Av, s["Axbar"] + tcol * Av)
+        f_t, gr_t = vvg(f, Ax_t)
+        Atg_t = vrmv(A, gr_t)
+        y_t = x_t - gcol * Atg_t
+        z_t, gz_t = vprox(g, y_t, gamma)
+        r_t = x_t - z_t
+        # for a G lane: f_t = f(A xbar), z_t = xbarbar, r_t = res_xbar
+
+        # --- G decision (the driver's backtrack accept test)
+        slack_g = 10 * eps * (1 + jnp.abs(f_t))
+        acc_g = (f_t <= s["upp"] + slack_g) | (gamma < minimum_gamma)
+        accG = in_g & acc_g & active
+        halveG = in_g & jnp.logical_not(acc_g) & active
+
+        # --- dstate: reset on gamma change (``zerofpr.jl: adaptive``),
+        # then the deferred update with (xbar, res_xbar) deltas
+        if qn:
+            dstate = _bwhere(
+                accG & (gamma != s["gamma_prev"]),
+                vreset(s["dstate"]), s["dstate"],
+            )
+            dstate_upd = vupdate(
+                dstate, s["xbar"] - s["xbar_prev"],
+                r_t - s["res_xbar_prev"],
+            )
+            dstate = _bwhere(accG & s["is_prev_set"], dstate_upd, dstate)
+        else:
+            dstate = s["dstate"]
+        d_new = vdirection(dstate, r_t, s["res"])
+
+        sigma = beta * (0.5 / gamma) * (1 - alpha)
+        fbe_x = s["upp"] + s["g_xbar"]
+        thr_acc = fbe_x - sigma * _norm_sq(s["res"]) + 10 * eps * (
+            1 + jnp.abs(fbe_x)
+        )
+
+        # halveG lanes: fresh FB candidates at gamma/2 from the base caches
+        gam_h = gamma * 0.5
+        y_h = s["x_b"] - gam_h[:, None] * s["Atg_b"]
+        xbar_h, gxb_h = vprox(g, y_h, gam_h)
+        res_h = s["x_b"] - xbar_h
+        upp_h = fmodel(s["f_b"], s["Atg_b"], res_h, gam_h)
+
+        # --- T decision (FBE accept; ``zerofpr.jl:200-217``)
+        fbe_t = fmodel(f_t, Atg_t, r_t, gamma) + gz_t
+        accept = in_t & ((fbe_t <= s["thr"]) | (s["bt"] >= max_backtracks))
+        commit = accept & active
+        halveT = in_t & jnp.logical_not(accept) & active
+        ccol = commit[:, None]
+        newly_done = commit & (_inf_norm(r_t) / gamma <= tol)
+        tau_next = jnp.where(
+            s["bt"] >= max_backtracks - 1, jnp.zeros((), R), s["tau"] / 2
+        )
+
+        accGc = accG[:, None]
+        halveGc = halveG[:, None]
+
+        new = dict(
+            in_g=jnp.where(commit, True,
+                           jnp.where(accG, False, s["in_g"])),
+            x_b=jnp.where(ccol, x_t, s["x_b"]),
+            f_b=jnp.where(commit, f_t, s["f_b"]),
+            Atg_b=jnp.where(ccol, Atg_t, s["Atg_b"]),
+            xbar=jnp.where(
+                ccol, z_t, jnp.where(halveGc, xbar_h, s["xbar"])
+            ),
+            g_xbar=jnp.where(
+                commit, gz_t, jnp.where(halveG, gxb_h, s["g_xbar"])
+            ),
+            res=jnp.where(
+                ccol, r_t, jnp.where(halveGc, res_h, s["res"])
+            ),
+            upp=jnp.where(
+                commit, fmodel(f_t, Atg_t, r_t, gamma),
+                jnp.where(halveG, upp_h, s["upp"]),
+            ),
+            gamma=jnp.where(halveG, gam_h, gamma),
+            gamma_prev=jnp.where(accG, gamma, s["gamma_prev"]),
+            Axbar=jnp.where(accGc, Axbar_g, s["Axbar"]),
+            thr=jnp.where(accG, thr_acc, s["thr"]),
+            d=jnp.where(accGc, d_new, s["d"]),
+            tau=jnp.where(
+                accG | commit, jnp.ones((), R),
+                jnp.where(halveT, tau_next, s["tau"]),
+            ),
+            bt=jnp.where(
+                accG | commit, 1,
+                jnp.where(halveT, s["bt"] + 1, s["bt"]),
+            ),
+            dstate=dstate,
+            xbar_prev=jnp.where(accGc, s["xbar"], s["xbar_prev"]),
+            res_xbar_prev=jnp.where(accGc, r_t, s["res_xbar_prev"]),
+            is_prev_set=s["is_prev_set"] | accG,
+            z_sol=jnp.where(ccol, z_t, s["z_sol"]),
+            k=s["k"] + commit.astype(jnp.int32),
+            done=s["done"] | newly_done,
+            trips=s["trips"] + 1,
+        )
+        out = {key: _bwhere(active, val, s[key]) for key, val in new.items()}
+        out["trips"] = new["trips"]
+        out["done"] = new["done"]
+        return out
+
+    s = _blocked_while(cond, body, s, check_every)
+    return s["z_sol"], s["k"], s["done"]
+
 def _dot_real_unconj(a, b):
     """Per-lane real(sum(a .* b)) WITHOUT conjugation — the reference's DRE
     uses the unconjugated ``dot`` (``drls.jl:90-98``, see ``_dre``)."""
@@ -1343,12 +1566,14 @@ def batched_panocplus(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
 
 def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
                     beta=0.5, max_backtracks=20, directions=None,
-                    trip_cap=None, check_every=1):
-    """Flattened batched fixed-stepsize ZeroFPR (one oracle evaluation per
-    loop trip; see ``_flat_zerofpr_run``).
+                    trip_cap=None, check_every=1, adaptive=False,
+                    minimum_gamma=1e-7, estimate_gamma=False):
+    """Flattened batched ZeroFPR — fixed (default) or adaptive stepsize
+    (one oracle evaluation per loop trip; see ``_flat_zerofpr_run`` /
+    ``_flat_zerofpr_adaptive_run``).
 
     Same calling convention as :func:`batched_panoc`; returns
-    ``(xbar, iters, done)`` matching ``ZeroFPR(gamma=..., adaptive=False)``.
+    ``(xbar, iters, done)`` matching ``ZeroFPR(...)`` per lane.
     """
     from ..accel.lbfgs import LBFGS
 
@@ -1362,6 +1587,15 @@ def batched_zerofpr(f, A, g, x0, gamma, tol, maxit=1000, alpha=0.95,
             "check_every > 1 cannot honor an explicit trip_cap exactly "
             "(the cap is only checked at block boundaries); set one or "
             "the other"
+        )
+    if adaptive:
+        R = gamma.dtype
+        return _flat_zerofpr_adaptive_run(
+            f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),
+            int(max_backtracks), directions,
+            jnp.asarray(minimum_gamma, R),
+            estimate_gamma=bool(estimate_gamma), trip_cap=trip_cap,
+            check_every=int(check_every),
         )
     return _flat_zerofpr_run(
         f, A, g, x0, gamma, tol, maxit, float(alpha), float(beta),

@@ -455,18 +455,14 @@ def test_batched_algorithm_routes_panoc_to_flat():
     assert match_flat_linesearch(
         make_panoc_iteration, kwargs, tol=TOL, maxit=500
     ) is not None
-    # adaptive PANOC now routes to its two-mode flat machine; adaptive
-    # ZeroFPR has no flat machine and falls back, as does a custom stop
-    assert match_flat_linesearch(
-        make_panoc_iteration, {**kwargs, "adaptive": True},
-        tol=TOL, maxit=500,
-    ) is not None
+    # adaptive PANOC and ZeroFPR route to their two-mode flat machines;
+    # a custom stop/solution still falls back to the generic driver
     from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
 
-    assert match_flat_linesearch(
-        make_zerofpr_iteration, {**kwargs, "adaptive": True},
-        tol=TOL, maxit=500,
-    ) is None
+    for fac in (make_panoc_iteration, make_zerofpr_iteration):
+        assert match_flat_linesearch(
+            fac, {**kwargs, "adaptive": True}, tol=TOL, maxit=500,
+        ) is not None
     assert match_flat_linesearch(
         make_panoc_iteration, kwargs, tol=TOL, maxit=500,
         stop=lambda it, tol, s: it.default_stopping_criterion(tol, s),
@@ -750,4 +746,110 @@ def test_flat_panoc_adaptive_cold_start_dispatched():
         assert abs(int(k) - int(iters[i])) <= 1, (i, k, iters[i])
         np.testing.assert_allclose(
             np.asarray(zs[i]), np.asarray(x), rtol=0, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("gamma_mult", [10.0, 1.0])
+def test_flat_zerofpr_adaptive_quad(gamma_mult):
+    """Adaptive flat ZeroFPR: exact per-lane parity with the single
+    ZeroFPR(adaptive=True) driver on quadratic f (10x-hot gamma start
+    forces real backtracking); blocking stays bit-exact."""
+    A, b, lam, Lf = problems()
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    gamma0 = gamma_mult * 0.95 / Lf
+    z, iters, done = batched_zerofpr(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=1000,
+        adaptive=True,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.ZeroFPR(tol=TOL, maxit=1000)
+    for i in range(B):
+        x, k = solver(x0=jnp.zeros(N), f=SqrDistance(b[i]), A=A[i],
+                      g=NormL1(lam[i]), gamma=float(gamma0[i]),
+                      adaptive=True)
+        assert int(k) == int(iters[i]), (i, k, iters[i])
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=1e-9
+        )
+    z8, it8, d8 = batched_zerofpr(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=1000,
+        adaptive=True, check_every=8,
+    )
+    assert np.array_equal(np.asarray(iters), np.asarray(it8))
+    assert np.array_equal(np.asarray(z), np.asarray(z8))
+
+
+def test_flat_zerofpr_adaptive_nonquad_and_dispatch():
+    """Non-quadratic adaptive ZeroFPR: short-horizon zip + full-solve
+    physical accuracy, and the cold-start (gamma=None) BatchedAlgorithm
+    route lands on the flat machine with driver-matching counts."""
+    from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((B, M, N)) * 0.5)
+    lam = jnp.full((B,), 0.05)
+    Lf = jnp.asarray(
+        [float(np.linalg.norm(np.asarray(A[i]), 2) ** 2) / 4
+         for i in range(B)]
+    )
+    f = jax.vmap(LogisticLoss)(jnp.ones((B,)))
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+    gamma0 = 8.0 * 0.95 / Lf
+
+    singles = []
+    for i in range(B):
+        it = make_zerofpr_iteration(
+            x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i], g=NormL1(lam[i]),
+            gamma=float(gamma0[i]), adaptive=True,
+        )
+        s = it.init()
+        traj = [np.asarray(s.xbar)]
+        for _ in range(14):
+            s = it.step(s)
+            traj.append(np.asarray(s.xbar))
+        singles.append(traj)
+    for k in (1, 5, 15):
+        z, iters, _ = batched_zerofpr(
+            f, Aop, g, jnp.zeros((B, N)), gamma0, 0.0, maxit=k,
+            adaptive=True,
+        )
+        assert all(int(i) == k for i in iters)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(z[i]), singles[i][k - 1], rtol=0, atol=1e-10
+            )
+
+    z, iters, done = batched_zerofpr(
+        f, Aop, g, jnp.zeros((B, N)), gamma0, TOL, maxit=2000,
+        adaptive=True,
+    )
+    assert bool(jnp.all(done))
+    solver = pa.ZeroFPR(tol=TOL, maxit=2000)
+    for i in range(B):
+        x, _ = solver(x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i],
+                      g=NormL1(lam[i]), gamma=float(gamma0[i]),
+                      adaptive=True)
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(x), rtol=0, atol=2e-4
+        )
+
+    # cold-start dispatch route
+    kw = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=Aop, adaptive=True)
+    assert match_flat_linesearch(
+        make_zerofpr_iteration, kw, tol=TOL, maxit=2000
+    ) is not None
+    zs, its, dn = BatchedAlgorithm(
+        make_zerofpr_iteration, maxit=2000, tol=TOL
+    )(**kw)
+    assert bool(jnp.all(dn))
+    for i in (0, B - 1):
+        x, k = solver(x0=jnp.zeros(N), f=LogisticLoss(1.0), A=A[i],
+                      g=NormL1(lam[i]), adaptive=True)
+        assert abs(int(k) - int(its[i])) <= 2, (i, k, its[i])
+        np.testing.assert_allclose(
+            np.asarray(zs[i]), np.asarray(x), rtol=0, atol=2e-4
         )

@@ -6,11 +6,16 @@ iteration (675 p/s measured r2); the flat machine pays one oracle
 evaluation per trip (accepted trial or halving).  Both variants measured
 back-to-back in one process (the tunnel wanders ~25% between processes).
 
-Usage: python benchmarks/flat_ls_bench.py [--quick] [--blocking]
+Usage: python benchmarks/flat_ls_bench.py [--quick] [--blocking] [--adaptive]
 
 ``--blocking`` instead measures check_every trip blocking on the flat
 machines (K=1 vs K=8; results_blocking.jsonl): exact semantics, the K>1
 variants only amortize the per-while-trip pipeline quantum.
+
+``--adaptive`` measures the two-mode gamma+tau flat machines for adaptive
+PANOC/ZeroFPR against the bounded lowering, from a deliberately 10x-hot
+gamma start so the gamma search does real work
+(results_adaptive_flat.jsonl).
 """
 
 import json
@@ -121,10 +126,46 @@ def blocking_sweep(reps):
               flush=True)
 
 
+def adaptive_sweep(reps):
+    """Adaptive PANOC/ZeroFPR: flat two-mode machines vs bounded lowering
+    (committed as results_adaptive_flat.jsonl)."""
+    As, bs, lams, Lfs = gen_problems(BATCH)
+    f = jax.vmap(SqrDistance)(jnp.asarray(bs))
+    g = jax.vmap(NormL1)(jnp.asarray(lams))
+    A = jnp.asarray(As)
+    x0 = jnp.zeros((BATCH, N), DTYPE)
+    Lf = jnp.asarray(Lfs)
+    Aop = MatrixOperator(A)
+    Aop_st = jax.vmap(MatrixOperator)(A)
+    gamma0 = 10.0 * 0.95 / Lf  # hot start: the search must halve ~3-4x
+
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
+          flush=True)
+    for name, flat_fn, factory in (
+        ("panoc", batched_panoc, make_panoc_iteration),
+        ("zerofpr", batched_zerofpr, make_zerofpr_iteration),
+    ):
+        z_f, _ = timed(f"flat_{name}_adaptive", lambda fn=flat_fn: fn(
+            f, Aop, g, x0, gamma0, TOL, maxit=MAXIT, adaptive=True), reps)
+        bounded = BatchedAlgorithm(
+            factory, maxit=MAXIT, tol=TOL, use_kernels=False
+        )
+        z_b, _ = timed(f"bounded_{name}_adaptive", lambda b=bounded: b(
+            x0=x0, f=f, g=g, A=Aop_st, adaptive=True, gamma=gamma0,
+            backtrack_limit=24), reps)
+        print(json.dumps({
+            "solver": name,
+            "max_abs_gap_flat_vs_bounded": float(np.max(np.abs(z_f - z_b))),
+        }), flush=True)
+
+
 def main():
     quick = "--quick" in sys.argv
     if "--blocking" in sys.argv:
         blocking_sweep(3 if quick else 5)
+        return
+    if "--adaptive" in sys.argv:
+        adaptive_sweep(3 if quick else 5)
         return
     only = None
     for a in sys.argv[1:]:

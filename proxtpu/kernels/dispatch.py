@@ -81,6 +81,9 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
         adaptive = gamma is None and Lf is None
     if not adaptive:
         return None
+    if "backtrack_limit" in kwargs:
+        # user-truncated gamma search: only the generic driver honors it
+        return None
     if kwargs.get("extrapolation_sequence") is not None:
         return None
     x0 = kwargs.get("x0")
@@ -153,10 +156,21 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
         # factory semantics: gamma derives from Lf first, then
         # adaptive defaults to (gamma is None)
         adaptive = gamma is None and Lf is None
+    adaptive = bool(adaptive)
     # every family handles adaptive now: PANOCplus interleaves the gamma
     # search in the lanes; PANOC and ZeroFPR have two-mode flat machines
     # (_flat_panoc_adaptive_run / _flat_zerofpr_adaptive_run)
     panoc_like = name in ("make_panoc_iteration", "make_zerofpr_iteration")
+    if not panocplus and not adaptive and gamma is None and Lf is None:
+        # explicit adaptive=False with no stepsize: the driver runs FIXED
+        # gamma at the init-time Lipschitz estimate — only the generic
+        # driver reproduces that
+        return None
+    if adaptive and "backtrack_limit" in kwargs:
+        # a user-truncated gamma search commits possibly-unaccepted steps;
+        # the flat machines always search to acceptance / minimum_gamma —
+        # only the generic driver honors the truncation
+        return None
     x0 = kwargs.get("x0")
     f, g = kwargs.get("f"), kwargs.get("g")
     if x0 is None or f is None or g is None:
@@ -234,7 +248,7 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
             adaptive=bool(adaptive) or gamma_v is None,
             minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),
         )
-    elif panoc_like and (bool(adaptive) or gamma_v is None):
+    elif panoc_like and adaptive:
         extra = dict(
             adaptive=True,
             minimum_gamma=float(kwargs.get("minimum_gamma", 1e-7)),

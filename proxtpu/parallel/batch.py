@@ -512,20 +512,6 @@ class BatchedAlgorithm:
 
     def __call__(self, **kwargs):
         merged = {**self.kwargs, **kwargs}
-        # batched context: default every bounded search (gamma-backtracking,
-        # tau-linesearch) to its fixed-trip masked lowering — a nested
-        # while_loop under vmap compiles pathologically on TPU (minutes to
-        # never), while the bounded form compiles in seconds and runs the
-        # same search.  An explicit backtrack_limit (including None) wins.
-        import inspect
-
-        if "backtrack_limit" not in merged:
-            try:
-                params = inspect.signature(self.iteration_factory).parameters
-            except (TypeError, ValueError):
-                params = {}
-            if "backtrack_limit" in params:
-                merged["backtrack_limit"] = _default_backtrack_limit(merged)
         if self.use_kernels and not self.verbose:
             from ..kernels.dispatch import (
                 match_flat_adaptive,
@@ -566,6 +552,24 @@ class BatchedAlgorithm:
                 )
             if run is not None:
                 return run()
+        # generic-path batched context: default every bounded search
+        # (gamma-backtracking, tau-linesearch) to its fixed-trip masked
+        # lowering — a nested while_loop under vmap compiles pathologically
+        # on TPU (minutes to never), while the bounded form compiles in
+        # seconds and runs the same search.  An explicit backtrack_limit
+        # (including None) wins — and because it is injected AFTER the
+        # dispatch attempts, the matchers see backtrack_limit only when the
+        # USER provided it (they fall back then: the flat machines always
+        # search to acceptance and cannot honor a truncated search).
+        import inspect
+
+        if "backtrack_limit" not in merged:
+            try:
+                params = inspect.signature(self.iteration_factory).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if "backtrack_limit" in params:
+                merged["backtrack_limit"] = _default_backtrack_limit(merged)
         iteration = self.iteration_factory(**merged)
         # batched_run_loop broadcasts rank-0 hyperparameters itself
         return batched_run_loop(

@@ -813,7 +813,6 @@ def _flat_panoc_adaptive_run(
     upp0 = fmodel(f0, Atg0, res0, gamma)
 
     dstate0 = vinit(x0)
-    zeros_m = jnp.zeros_like(Ax0)
     zeros_s = jnp.zeros((B,), R)
     s = dict(
         # accepted-iterate base + its caches (mode G works from these)

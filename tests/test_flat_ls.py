@@ -853,3 +853,51 @@ def test_flat_zerofpr_adaptive_nonquad_and_dispatch():
         np.testing.assert_allclose(
             np.asarray(zs[i]), np.asarray(x), rtol=0, atol=2e-4
         )
+
+
+def test_dispatch_preserves_driver_semantics_on_edge_kwargs():
+    """Two dispatch-parity regressions (review repros): explicit
+    adaptive=False with no stepsize runs FIXED estimated gamma (generic
+    driver), and a user-explicit backtrack_limit truncates the gamma
+    search — both must bypass the adaptive flat machines."""
+    from proxtpu.kernels.dispatch import match_flat_linesearch
+
+    A, b, lam, Lf = problems(9)
+    f = jax.vmap(SqrDistance)(b)
+    g = jax.vmap(NormL1)(lam)
+    Aop = jax.vmap(MatrixOperator)(A)
+
+    # explicit adaptive=False + no gamma/Lf -> no flat match
+    kw1 = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=Aop, adaptive=False)
+    assert match_flat_linesearch(
+        make_panoc_iteration, kw1, tol=1e-6, maxit=300
+    ) is None
+    z_d, k_d, _ = BatchedAlgorithm(
+        make_panoc_iteration, maxit=300, tol=1e-6
+    )(**kw1)
+    z_g, k_g, _ = BatchedAlgorithm(
+        make_panoc_iteration, maxit=300, tol=1e-6, use_kernels=False
+    )(**kw1)
+    assert np.array_equal(np.asarray(k_d), np.asarray(k_g))
+
+    # user-explicit backtrack_limit -> no flat match, truncation honored
+    gamma0 = 100.0 * 0.95 / Lf
+    kw2 = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=Aop, adaptive=True,
+               gamma=gamma0, backtrack_limit=2)
+    assert match_flat_linesearch(
+        make_panoc_iteration, kw2, tol=1e-6, maxit=300
+    ) is None
+    z_d, k_d, _ = BatchedAlgorithm(
+        make_panoc_iteration, maxit=300, tol=1e-6
+    )(**kw2)
+    z_g, k_g, _ = BatchedAlgorithm(
+        make_panoc_iteration, maxit=300, tol=1e-6, use_kernels=False
+    )(**kw2)
+    assert np.array_equal(np.asarray(k_d), np.asarray(k_g))
+
+    # without the explicit limit the flat route still fires
+    kw3 = dict(x0=jnp.zeros((B, N)), f=f, g=g, A=Aop, adaptive=True,
+               gamma=gamma0)
+    assert match_flat_linesearch(
+        make_panoc_iteration, kw3, tol=1e-6, maxit=300
+    ) is not None

@@ -97,3 +97,36 @@ def test_flat_panoc_batched_complex_matches_single(dtype):
         )
         slack = 3 if dtype == jnp.complex128 else max(5, it // 10)
         assert abs(int(iters[i]) - it) <= slack
+
+
+@pytest.mark.parametrize("dtype", [jnp.complex64, jnp.complex128])
+def test_flat_adaptive_batched_complex_matches_single(dtype):
+    """The two-mode adaptive flat machines preserve complex dtypes and
+    match the single adaptive drivers per lane (gamma decisions are real
+    scalars; iterates complex)."""
+    from proxtpu.algorithms import ZeroFPR
+    from proxtpu.algorithms.zerofpr import make_zerofpr_iteration
+
+    A, b, lam, Lf = complex_lasso(dtype)
+    x0 = jnp.zeros((B, N), dtype)
+    gamma0 = 10.0 * 0.95 / Lf  # hot start: the gamma search engages
+    atol = 1e-4 if dtype == jnp.complex64 else 1e-8
+    solver = BatchedAlgorithm(make_zerofpr_iteration, maxit=1000, tol=TOL)
+    xs, iters, done = solver(
+        x0=x0, f=Shared(SqrDistance(b)), A=Shared(MatrixOperator(A)),
+        g=NormL1(lam), gamma=jnp.full((B,), gamma0, x0.real.dtype),
+        adaptive=True,
+    )
+    assert xs.dtype == jnp.dtype(dtype)
+    assert bool(done.all())
+    single = ZeroFPR(maxit=1000, tol=TOL)
+    for i in range(B):
+        x, it = single(
+            x0=jnp.zeros(N, dtype), f=SqrDistance(b), A=A,
+            g=NormL1(lam[i]), gamma=gamma0, adaptive=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x), rtol=0, atol=atol
+        )
+        slack = 2 if dtype == jnp.complex128 else max(5, it // 10)
+        assert abs(int(iters[i]) - it) <= slack

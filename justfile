@@ -33,6 +33,12 @@ bench-shared:
 bench-svm:
     python benchmarks/svm_bench.py
 
+bench-adaptive-flat:
+    python benchmarks/flat_ls_bench.py --adaptive
+
+bench-blocking:
+    python benchmarks/flat_ls_bench.py --blocking
+
 scaling:
     python benchmarks/scaling.py --platform cpu
 

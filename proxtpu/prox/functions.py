@@ -777,3 +777,76 @@ class IndPSD:
         wpos = jnp.maximum(w, 0)
         Z = pdot(V * wpos[None, :].astype(V.dtype), V.T.conj())
         return Z, _rzero(X)
+
+
+@proxclass
+class IndSphereL2:
+    """Indicator of the l2 SPHERE {||x|| = r} (NONCONVEX; the boundary of
+    :class:`IndBallL2`).  Prox is radial projection r*x/||x||
+    (``ProximalOperators.IndSphereL2``); the x=0 singularity projects to
+    r*e_1 (any point is valid — a deterministic convention keeps the jitted
+    map pure)."""
+
+    r: object = 1.0
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        from ..utils.tree import tree_norm
+
+        r = _rparam(self.r, x)
+        nrm = tree_norm(x)
+        eps = jnp.finfo(real_dtype_of(x)).eps
+        R = real_dtype_of(x)
+        ok = jnp.abs(nrm - r) <= 100 * eps * (1 + r)
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        from ..utils.tree import tree_norm
+
+        r = _rparam(self.r, x)
+        nrm = tree_norm(x)
+        safe = jnp.where(nrm == 0, 1, nrm)
+        z = tree_map(lambda l: (r / safe).astype(l.dtype) * l, x)
+        # deterministic convention at the singularity: project 0 -> r*e_1
+        def fix_zero(l):
+            e1 = jnp.zeros_like(l).reshape(-1).at[0].set(1).reshape(l.shape)
+            return jnp.where(nrm == 0, r.astype(l.dtype) * e1, l)
+
+        return tree_map(fix_zero, z), _rzero(x)
+
+
+@proxclass
+class LogBarrier:
+    """f(x) = -mu * sum_i log(x_i) on the positive orthant (the
+    interior-point barrier; ``ProximalOperators.SumNegativeLogarithm``
+    analogue).  Closed-form prox per coordinate:
+    z = (x + sqrt(x^2 + 4 gamma mu)) / 2 > 0."""
+
+    mu: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        mu = _rparam(self.mu, x)
+        R = real_dtype_of(x)
+        ok = jnp.array(True)
+        val = jnp.zeros((), R)
+        for l in jax.tree.leaves(x):
+            ok = ok & jnp.all(l > 0)
+            val = val - mu * jnp.sum(jnp.log(jnp.where(l > 0, l, 1)))
+        return jnp.where(ok, val, jnp.asarray(jnp.inf, R))
+
+    def value_and_gradient(self, x):
+        mu = _rparam(self.mu, x)
+        grad = tree_map(lambda l: -mu / l, x)
+        return self(x), grad
+
+    def prox(self, x, gamma):
+        mu = _rparam(self.mu, x)
+        z = tree_map(
+            lambda l: (l + jnp.sqrt(l * l + 4 * gamma * mu)) / 2, x
+        )
+        return z, self(z)

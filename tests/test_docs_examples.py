@@ -160,3 +160,21 @@ def test_phase_retrieval_example():
     assert out["rel_error"] < 1e-6
     assert out["iterations"] < 200
     assert out["iterations"] < out["iterations_gd"] / 10
+
+
+def test_leading_eigenvector_example():
+    """Sphere-constrained nonconvex PANOC finds the leading eigenvector
+    (Rayleigh quotient matches lam_max to 1e-8, alignment ~1)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "leading_eigenvector.py")
+    spec = importlib.util.spec_from_file_location("eig_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert abs(out["rayleigh"] - out["lam_max"]) <= 1e-8 * (
+        1 + abs(out["lam_max"])
+    )
+    assert out["align"] > 1 - 1e-6
+    assert out["iterations"] < 500

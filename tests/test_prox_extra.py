@@ -251,3 +251,47 @@ def test_ind_psd(dtype):
         R = rng.standard_normal((6, 6))
         P = R @ R.T / 6 + expect * rng.random()
         assert np.linalg.norm(np.asarray(X) - P) >= d_star - 1e-6
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_ind_sphere_l2(dtype):
+    from proxtpu.prox import IndSphereL2
+
+    r = 1.5
+    f = IndSphereL2(r)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(9), dtype)
+    z, _ = f.prox(x, 1.0)
+    np.testing.assert_allclose(float(jnp.linalg.norm(z)), r, rtol=1e-5)
+    assert float(f(z)) == 0.0
+    # radial projection: z parallel to x
+    cos = float(jnp.vdot(z, x) / (jnp.linalg.norm(z) * jnp.linalg.norm(x)))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-6)
+    # singularity convention: 0 -> r*e_1 (deterministic, on the sphere)
+    z0, _ = f.prox(jnp.zeros(9, dtype), 1.0)
+    np.testing.assert_allclose(float(jnp.linalg.norm(z0)), r, rtol=1e-5)
+    assert float(z0[0]) > 0
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_log_barrier(dtype):
+    from proxtpu.prox import LogBarrier
+
+    mu, gamma = 0.7, 0.4
+    f = LogBarrier(mu)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(12), dtype)  # mixed signs
+    z, f_z = f.prox(x, gamma)
+    assert float(jnp.min(z)) > 0  # prox lands strictly inside the domain
+    np.testing.assert_allclose(float(f_z), float(f(z)), rtol=1e-5)
+    # stationarity of the prox objective: z - x - gamma*mu/z = 0
+    resid = np.asarray(z - x - gamma * mu / z)
+    np.testing.assert_allclose(resid, 0.0, atol=1e-5)
+    # gradient matches AD
+    xp = jnp.asarray(0.5 + rng.random(12), dtype)
+    v, g = f.value_and_gradient(xp)
+    v_ad, g_ad = jax.value_and_grad(lambda u: f(u))(xp)
+    np.testing.assert_allclose(float(v), float(v_ad), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), rtol=1e-4)
+    # infeasible point evaluates to +inf
+    assert not np.isfinite(float(f(x))) or bool(jnp.all(x > 0))

@@ -67,6 +67,8 @@ def make_douglas_rachford_iteration(*, x0, f=Zero(), g=Zero(), gamma):
 
 def DouglasRachford(*, maxit=1_000, tol=1e-8, stop=None, solution=None,
                     verbose=False, freq=100, display=None, **kwargs):
+    """Douglas-Rachford splitting solver for two nonsmooth terms
+    (``douglas_rachford.jl:101-119``; ``gamma`` is required)."""
     return IterativeAlgorithm(
         make_douglas_rachford_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

@@ -280,6 +280,8 @@ def make_drls_iteration(
 
 def DRLS(*, maxit=1_000, tol=1e-8, stop=None, solution=None, verbose=False,
          freq=10, display=None, **kwargs):
+    """Douglas-Rachford line-search solver (DRE merit + directions,
+    ``drls.jl:231-255``)."""
     return IterativeAlgorithm(
         make_drls_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

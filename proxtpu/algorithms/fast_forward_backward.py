@@ -165,6 +165,8 @@ def make_fast_forward_backward_iteration(
 
 def FastForwardBackward(*, maxit=10_000, tol=1e-8, stop=None, solution=None,
                         verbose=False, freq=100, display=None, **kwargs):
+    """Accelerated (FISTA) forward-backward solver with pluggable
+    extrapolation sequences (``fast_forward_backward.jl:186-209``)."""
     return IterativeAlgorithm(
         make_fast_forward_backward_iteration,
         maxit=maxit, tol=tol, stop=stop, solution=solution,

@@ -296,6 +296,8 @@ def make_panoc_iteration(
 
 def PANOC(*, maxit=1_000, tol=1e-8, stop=None, solution=None, verbose=False,
           freq=10, display=None, **kwargs):
+    """PANOC solver: quasi-Newton directions with an FBE line search
+    (``panoc.jl:297-315``)."""
     return IterativeAlgorithm(
         make_panoc_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

@@ -295,6 +295,8 @@ def make_panocplus_iteration(
 
 def PANOCplus(*, maxit=1_000, tol=1e-8, stop=None, solution=None,
               verbose=False, freq=10, display=None, **kwargs):
+    """PANOCplus solver: PANOC for locally smooth f (gamma backtracking
+    interleaved inside the tau search, ``panocplus.jl:278-300``)."""
     return IterativeAlgorithm(
         make_panocplus_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

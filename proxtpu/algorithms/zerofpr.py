@@ -223,6 +223,8 @@ def make_zerofpr_iteration(
 
 def ZeroFPR(*, maxit=1_000, tol=1e-8, stop=None, solution=None, verbose=False,
             freq=10, display=None, **kwargs):
+    """ZeroFPR solver: quasi-Newton steps on the fixed-point residual with
+    an FBE line search (``zerofpr.jl:252-280``)."""
     return IterativeAlgorithm(
         make_zerofpr_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

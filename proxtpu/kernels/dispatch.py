@@ -129,7 +129,7 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
 
 
 def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
-                          solution=None, check_every=1):
+                          solution=None, check_every=None):
     """Route batched *fixed-stepsize* tau-linesearch solvers to the
     flattened trial/commit machines (:mod:`proxtpu.parallel.flat_ls`) —
     one oracle evaluation per loop trip instead of ``max_backtracks``
@@ -149,7 +149,7 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
     gamma, Lf = kwargs.get("gamma"), kwargs.get("Lf")
     if name == "make_drls_iteration":
         return _match_flat_drls(kwargs, tol=tol, maxit=maxit,
-                                check_every=check_every)
+                                check_every=check_every or 1)
     panocplus = name == "make_panocplus_iteration"
     adaptive = kwargs.get("adaptive")
     if adaptive is None:
@@ -258,6 +258,13 @@ def match_flat_linesearch(factory, kwargs, *, tol, maxit, stop=None,
             extra["estimate_gamma"] = True
             gamma_v = jnp.ones((B,), R)
 
+    if check_every is None:
+        # measured auto policy (BASELINE.md): blocking is exact on the
+        # flat machines; +17% on the adaptive PANOC machine at K=8 (its
+        # gamma trips are cheap), neutral-to-negative elsewhere
+        check_every = 8 if (
+            name == "make_panoc_iteration" and extra.get("adaptive")
+        ) else 1
     return lambda: runner(
         f, Aop, g, x0, gamma_v, tol, maxit=maxit, alpha=alpha, beta=beta,
         max_backtracks=max_backtracks, directions=directions,

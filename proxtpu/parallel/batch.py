@@ -548,7 +548,10 @@ class BatchedAlgorithm:
                     self.iteration_factory, merged,
                     tol=self.tol, maxit=self.maxit,
                     stop=self.stop, solution=self.solution,
-                    check_every=self.check_every or 1,
+                    # None = per-route auto (the matcher picks K=8 for the
+                    # adaptive PANOC machine, measured +17%; exact K=1
+                    # elsewhere)
+                    check_every=self.check_every,
                 )
             if run is not None:
                 return run()

@@ -46,9 +46,7 @@ from proxtpu.parallel import BatchedAlgorithm, Shared
 from proxtpu.parallel.flat_ls import batched_panoc, batched_zerofpr
 from proxtpu.prox import LogisticLoss, NormL1, Translate
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _timing import timed_solve  # noqa: E402
 
 M, N = 200, 400

@@ -40,9 +40,7 @@ from proxtpu.parallel import BatchedAlgorithm, Shared
 from proxtpu.parallel.flat_ls import batched_zerofpr
 from proxtpu.prox import LeastSquaresLoss, LogisticLoss, NormL1, SqrDistance, Translate
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _timing import timed_solve  # noqa: E402
 
 M, N, BATCH = 200, 400, 256

@@ -42,8 +42,15 @@ def phase_dist(x, x_true):
 
 
 def main(verbose=True):
-    if not jax.config.read("jax_enable_x64"):
-        jax.config.update("jax_enable_x64", True)
+    prev_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _main(verbose)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
+def _main(verbose):
     rng = np.random.default_rng(3)
     n, m = 32, 6 * 32
     x_true = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2)

@@ -72,11 +72,17 @@ def broadcast_hyperparams(iteration):
     error)."""
     B = None
     x0 = getattr(iteration, "x0", None)
-    b_from_x0 = (
-        x0 is not None and not isinstance(x0, Shared) and jnp.ndim(x0) > 0
-    )
+    # x0 may itself be a pytree (tuple iterates: Davis-Yin product spaces,
+    # robust PCA) — infer B from its first non-Shared ARRAY LEAF, never
+    # from the container (jnp.shape on a tuple would misread its length)
+    x0_leaves = [] if x0 is None else [
+        l for l in jax.tree.leaves(
+            x0, is_leaf=lambda v: isinstance(v, Shared)
+        ) if not isinstance(l, Shared)
+    ]
+    b_from_x0 = bool(x0_leaves) and jnp.ndim(x0_leaves[0]) > 0
     if b_from_x0:
-        B = jnp.shape(x0)[0]
+        B = jnp.shape(x0_leaves[0])[0]
     else:
         for leaf in jax.tree.leaves(
             iteration, is_leaf=lambda x: isinstance(x, Shared)
@@ -500,7 +506,9 @@ class BatchedAlgorithm:
         # rounded to block boundaries; the kernel fast paths ignore it
         # (they have their own iter_block policy).  None = auto: exact K=1
         # on the generic driver (counts there change with K), K=8 on the
-        # flat adaptive machine where blocking is exact and measured +68%.
+        # flat adaptive machine (semantically exact — bit-identical on
+        # CPU, +-1 knife-edge count drift possible on TPU — and measured
+        # +68%; pass check_every=1 for strict TPU count parity).
         self.check_every = check_every
         # batched analogue of the reference's verbose/freq contract: a
         # per-freq progress row (converged-lane count) from the generic
@@ -548,9 +556,12 @@ class BatchedAlgorithm:
                     self.iteration_factory, merged,
                     tol=self.tol, maxit=self.maxit,
                     stop=self.stop, solution=self.solution,
-                    # None = per-route auto (the matcher picks K=8 for the
-                    # adaptive PANOC machine, measured +17%; exact K=1
-                    # elsewhere)
+                    # None = per-route auto (the matcher picks K=8 for
+                    # the adaptive PANOC machine, measured +17%; K=1
+                    # elsewhere).  Blocking is semantically exact
+                    # (bit-identical on CPU); on TPU recompilation can
+                    # flip knife-edge accepts (counts +-1) — pass
+                    # check_every=1 for strict TPU count parity.
                     check_every=self.check_every,
                 )
             if run is not None:

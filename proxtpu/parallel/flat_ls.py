@@ -29,10 +29,12 @@ commit after ``max_backtracks`` halvings (``panoc.jl:204-250``), iteration
 counts (init counts as iteration 1) and solutions.
 
 Adaptive stepsizes: PANOCplus interleaves its gamma search in the lanes
-(``_flat_panocplus_run``), and adaptive PANOC has a two-mode machine
-(``_flat_panoc_adaptive_run``: per-lane gamma-search / tau-search phases,
-one oracle round per trip either way).  Adaptive ZeroFPR still routes to
-the bounded lowering.  Iterates are stacked 2-D ``(B, n)`` arrays; f/g/A
+(``_flat_panocplus_run``); adaptive PANOC and adaptive ZeroFPR each have
+a two-mode machine (``_flat_panoc_adaptive_run`` /
+``_flat_zerofpr_adaptive_run``: per-lane gamma-search / tau-search
+phases, one oracle round per trip either way).  The bounded lowering
+remains only as the generic fallback (custom stop/solution, explicit
+``backtrack_limit``).  Iterates are stacked 2-D ``(B, n)`` arrays; f/g/A
 are vmap-stacked pytrees (every array leaf carries the batch axis).
 """
 

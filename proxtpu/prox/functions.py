@@ -810,11 +810,20 @@ class IndSphereL2:
         safe = jnp.where(nrm == 0, 1, nrm)
         z = tree_map(lambda l: (r / safe).astype(l.dtype) * l, x)
         # deterministic convention at the singularity: project 0 -> r*e_1
-        def fix_zero(l):
-            e1 = jnp.zeros_like(l).reshape(-1).at[0].set(1).reshape(l.shape)
-            return jnp.where(nrm == 0, r.astype(l.dtype) * e1, l)
-
-        return tree_map(fix_zero, z), _rzero(x)
+        # with e_1 in the FIRST leaf only (so multi-leaf iterates still
+        # land ON the sphere, not at radius r*sqrt(num_leaves))
+        leaves, treedef = jax.tree.flatten(z)
+        fixed = []
+        for i, l in enumerate(leaves):
+            if i == 0:
+                e1 = (
+                    jnp.zeros_like(l).reshape(-1).at[0].set(1)
+                    .reshape(l.shape)
+                )
+                fixed.append(jnp.where(nrm == 0, r.astype(l.dtype) * e1, l))
+            else:
+                fixed.append(jnp.where(nrm == 0, jnp.zeros_like(l), l))
+        return jax.tree.unflatten(treedef, fixed), _rzero(x)
 
 
 @proxclass

@@ -182,3 +182,26 @@ def test_auto_shared_only_with_x0_batch_inference():
     out = broadcast_hyperparams(bg)
     # no x0 => no auto-Share: the mismatched leaf passes through unwrapped
     assert not isinstance(out.b, Shared)
+
+
+def test_broadcast_hyperparams_tuple_x0():
+    """B must come from x0's ARRAY LEAVES, not the container: a tuple
+    iterate (Davis-Yin / robust-PCA product space) must not misread B as
+    the tuple length (regression: jnp.shape on a tuple)."""
+    from proxtpu.algorithms.davis_yin import make_davis_yin_iteration
+    from proxtpu.parallel.batch import broadcast_hyperparams
+    from proxtpu.prox import NormL1, SqrNormL2, Zero
+    from proxtpu.utils.shared import Shared
+
+    Bn = 5
+    it = jax.vmap(
+        lambda x: make_davis_yin_iteration(
+            x0=(x, x), f=SqrNormL2(1.0), g=NormL1(0.1), h=Zero(), gamma=0.5,
+        )
+    )(jnp.zeros((Bn, 7)))
+    out = broadcast_hyperparams(it)
+    # rank-0 hyperparameters gained EXACTLY the (Bn,) batch axis
+    assert out.gamma.shape == (Bn,)
+    # x0's own leaves stayed unwrapped and batched
+    assert not isinstance(out.x0[0], Shared)
+    assert out.x0[0].shape == (Bn, 7)

@@ -295,3 +295,17 @@ def test_log_barrier(dtype):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), rtol=1e-4)
     # infeasible point evaluates to +inf
     assert not np.isfinite(float(f(x))) or bool(jnp.all(x > 0))
+
+
+def test_ind_sphere_multi_leaf_zero_convention():
+    """Projecting a multi-leaf zero iterate must land ON the sphere
+    (e_1 in the first leaf only), not at radius r*sqrt(num_leaves)."""
+    from proxtpu.prox import IndSphereL2
+
+    r = 2.0
+    f = IndSphereL2(r)
+    z, fz = f.prox((jnp.zeros(6), jnp.zeros(6)), 1.0)
+    total = float(jnp.sqrt(sum(jnp.sum(l * l) for l in z)))
+    np.testing.assert_allclose(total, r, rtol=1e-6)
+    assert float(f(z)) == 0.0
+    assert float(z[0][0]) > 0 and float(jnp.max(jnp.abs(z[1]))) == 0.0

@@ -726,6 +726,33 @@ class IndBallLinf:
 
 
 @proxclass
+class NormLinf:
+    """f(x) = lam * max_i |x_i| (``ProximalOperators.NormLinf``; dual of
+    the l1 norm).  Prox by Moreau decomposition against the l1-ball
+    projection: prox_{gamma f}(x) = x - P_{B1(gamma*lam)}(x) — one sort,
+    fully jittable, complex-safe (phase-preserving).  Single array leaf
+    (same contract as :class:`IndBallL1`, whose projection it reuses)."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        lam = _rparam(self.lam, x)
+        return lam * tree_inf_norm(x)
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        gamma = _rparam(gamma, leaf)
+        p, _ = IndBallL1(gamma * lam).prox(leaf, gamma)
+        z = leaf - p
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, self(zt)
+
+
+@proxclass
 class IndHalfspace:
     """Indicator of the halfspace {<a, x> <= b} (real dtypes); the prox is
     the affine projection x - max(0, (<a,x> - b)/||a||^2) a."""

@@ -309,3 +309,42 @@ def test_ind_sphere_multi_leaf_zero_convention():
     np.testing.assert_allclose(total, r, rtol=1e-6)
     assert float(f(z)) == 0.0
     assert float(z[0][0]) > 0 and float(jnp.max(jnp.abs(z[1]))) == 0.0
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64, jnp.complex64])
+def test_norm_linf(dtype):
+    """NormLinf prox via Moreau: (i) hand oracle on a small real vector,
+    (ii) the Moreau identity x = prox_{g f}(x) + g*prox_{f*/g}(x/g) with
+    f* = Ind_{B1(lam)}, (iii) optimality among perturbations, complex-safe."""
+    from proxtpu.prox import IndBallL1, NormLinf
+
+    lam, gamma = 0.8, 1.5
+    f = NormLinf(lam)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(9), dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        x = x + 1j * jnp.asarray(rng.standard_normal(9), jnp.float32)
+    z, fz = f.prox(x, gamma)
+    assert z.dtype == x.dtype
+    # value consistency
+    np.testing.assert_allclose(
+        float(fz), lam * float(jnp.max(jnp.abs(z))), rtol=1e-5
+    )
+    # Moreau identity against the independent l1-ball projection
+    p, _ = IndBallL1(gamma * lam).prox(x, gamma)
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(x - p), rtol=1e-6, atol=1e-6
+    )
+    # prox point minimizes f(u) + ||u - x||^2/(2 gamma) among perturbations
+    obj = lambda u: float(f(u)) + float(
+        jnp.sum(jnp.abs(u - x) ** 2).real
+    ) / (2 * gamma)
+    base = obj(z)
+    for _ in range(20):
+        d = jnp.asarray(rng.standard_normal(9), jnp.float32).astype(dtype)
+        assert obj(z + 0.05 * d) >= base - 1e-5 * (1 + abs(base))
+    # hand oracle: small max-element pull-down
+    xs = jnp.asarray([3.0, -1.0, 0.5], jnp.float32)
+    zs, _ = NormLinf(1.0).prox(xs, 0.5)
+    # only the max coordinate moves, down by gamma*lam (others below it)
+    np.testing.assert_allclose(np.asarray(zs), [2.5, -1.0, 0.5], atol=1e-6)

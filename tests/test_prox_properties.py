@@ -37,6 +37,7 @@ from proxtpu.prox import (
     NormL1,
     NormL2,
     NormL21,
+    NormLinf,
     SqrDistance,
     SqrNormL2,
     SumPositive,
@@ -56,6 +57,7 @@ def _functions(rng):
     return [
         NormL1(0.4),
         NormL2(0.7),
+        NormLinf(0.8),
         NormL21(0.5, axis=0),
         SqrNormL2(1.3),
         ElasticNet(0.5, 1.1),

@@ -129,6 +129,61 @@ class Postcompose:
 
 
 @proxclass
+class Precompose:
+    """g(x) = f(L x + b) for a linear map satisfying L L* = mu * I with
+    mu > 0 (orthogonal/unitary maps, scaled identities, tight frames —
+    ``ProximalOperators.Precompose``).  Under that condition the prox has
+    the closed form
+
+        prox_{gamma g}(x) = x + (1/mu) L*( prox_{mu gamma f}(Lx + b) - Lx - b )
+
+    ``L`` is anything :func:`proxtpu.ops.linops.as_linop` accepts (a 2-D
+    array or a ``matvec``/``rmatvec`` operator object); ``b`` is a scalar
+    or an array matching ``L x``.  The tight-frame condition is the
+    USER'S contract — it is not (and cannot cheaply be) checked.
+    """
+
+    f: object
+    L: object
+    mu: object = 1.0
+    b: object = 0.0
+
+    @property
+    def is_convex(self):
+        # affine precomposition preserves convexity
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def _affine(self, x):
+        from ..ops.linops import as_linop
+
+        y = as_linop(self.L).matvec(x)
+        return tree_map(lambda l: l + self.b, y)
+
+    def __call__(self, x):
+        return self.f(self._affine(x))
+
+    def value_and_gradient(self, x):
+        from ..ops.linops import as_linop
+        from .base import value_and_gradient
+
+        v, gy = value_and_gradient(self.f, self._affine(x))
+        return v, as_linop(self.L).rmatvec(gy)
+
+    def prox(self, x, gamma):
+        from ..ops.linops import as_linop
+
+        L = as_linop(self.L)
+        y = self._affine(x)
+        z, f_z = self.f.prox(y, self.mu * gamma)
+        d = L.rmatvec(tree_sub(z, y))
+        return tree_map(lambda xl, dl: xl + dl / self.mu, x, d), f_z
+
+
+@proxclass
 class MoreauEnvelope:
     """Moreau envelope f^gamma — a smooth surrogate with an exact gradient:
 

@@ -120,3 +120,60 @@ def test_moreau_envelope_gradient_and_bound():
     grad_ad = jax.grad(lambda u: env(u))(x)
     np.testing.assert_allclose(np.asarray(grad_ad), np.asarray(grad),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("gamma", [0.4, 1.5])
+def test_precompose_orthogonal(gamma):
+    """Precompose with an orthogonal Q (mu=1): the prox must equal the
+    change-of-variables solution Q^T (prox_{gamma f}(Qx + b) - b)."""
+    from proxtpu.prox import Precompose
+
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    Q = jnp.asarray(Q)
+    b = jnp.asarray(rng.standard_normal(6) * 0.3)
+    f = NormL1(0.7)
+    g = Precompose(f, Q, 1.0, b)
+    x = jnp.asarray(rng.standard_normal(6))
+    z, v = prox(g, x, gamma)
+    zf, _ = prox(f, Q @ x + b, gamma)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(Q.T @ (zf - b)),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(v), float(g(z)), atol=1e-6)
+    # variational optimality among perturbations
+    obj = lambda u: float(g(u)) + float(jnp.sum((u - x) ** 2)) / (2 * gamma)
+    base = obj(z)
+    for _ in range(15):
+        d = jnp.asarray(rng.standard_normal(6))
+        assert obj(z + 0.05 * d) >= base - 1e-8 * (1 + abs(base))
+
+
+def test_precompose_tight_frame_and_gradient():
+    """Wide tight frame L (rows of an orthogonal matrix, scaled): L L* =
+    mu I with mu = c^2; prox satisfies the variational definition and the
+    closed-form gradient matches AD for smooth f."""
+    from proxtpu.prox import Precompose, SqrNormL2
+
+    rng = np.random.default_rng(8)
+    Q, _ = np.linalg.qr(rng.standard_normal((9, 9)))
+    c = 1.7
+    L = jnp.asarray(c * Q[:4])          # (4, 9), L L^T = c^2 I_4
+    mu = c * c
+    f = NormL1(0.5)
+    g = Precompose(f, L, mu)
+    x = jnp.asarray(rng.standard_normal(9))
+    gamma = 0.9
+    z, v = prox(g, x, gamma)
+    np.testing.assert_allclose(float(v), float(g(z)), atol=1e-6)
+    obj = lambda u: float(g(u)) + float(jnp.sum((u - x) ** 2)) / (2 * gamma)
+    base = obj(z)
+    for _ in range(25):
+        d = jnp.asarray(rng.standard_normal(9))
+        assert obj(z + 0.03 * d) >= base - 1e-8 * (1 + abs(base))
+    # smooth chain rule: grad (f o L) = L^T grad f(Lx + b)
+    h = Precompose(SqrNormL2(1.3), L, mu, 0.2)
+    val, grad = h.value_and_gradient(x)
+    val_ad, grad_ad = jax.value_and_grad(lambda u: h(u))(x)
+    np.testing.assert_allclose(float(val), float(val_ad), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ad),
+                               rtol=1e-5, atol=1e-6)

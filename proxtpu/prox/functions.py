@@ -886,3 +886,178 @@ class LogBarrier:
             lambda l: (l + jnp.sqrt(l * l + 4 * gamma * mu)) / 2, x
         )
         return z, self(z)
+
+
+@proxclass
+class IndSOC:
+    """Indicator of the second-order (Lorentz) cone
+    {(t, x) : ||x||_2 <= t} on a flat vector whose FIRST coordinate is t
+    (``ProximalOperators.IndSOC`` convention).  Closed-form projection:
+    the point itself inside the cone, 0 inside the polar cone
+    (||x|| <= -t), and otherwise ((t + ||x||)/2) * (1, x/||x||).
+    Real dtypes, single array leaf."""
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        t, v = leaf[0], leaf[1:]
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        eps = jnp.finfo(R).eps
+        ok = nrm <= t * (1 + 10 * eps) + 10 * eps
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        t, v = leaf[0], leaf[1:]
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        alpha = (t + nrm) / 2
+        scale = alpha / jnp.where(nrm == 0, 1, nrm)
+        z_mid = jnp.concatenate([alpha[None], scale * v])
+        z = jnp.where(
+            nrm <= t, leaf,
+            jnp.where(nrm <= -t, jnp.zeros_like(leaf), z_mid),
+        )
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, _rzero(x)
+
+
+@proxclass
+class NormL1plusL2:
+    """f(x) = lam1 ||x||_1 + lam2 ||x||_2 — the sparse-group-lasso
+    regularizer (``ProximalOperators.NormL1plusL2``).  The prox composes:
+    block soft-threshold (NormL2) after elementwise soft-threshold
+    (NormL1), which is exact for this sum.  Complex-safe."""
+
+    lam1: object = 1.0
+    lam2: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        lam1 = _rparam(self.lam1, x)
+        lam2 = _rparam(self.lam2, x)
+        l1 = sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(x))
+        sq = sum(jnp.sum(jnp.abs(l) ** 2) for l in jax.tree.leaves(x))
+        return lam1 * l1 + lam2 * jnp.sqrt(sq)
+
+    def prox(self, x, gamma):
+        lam1 = _rparam(self.lam1, x)
+        u = tree_map(lambda l: _soft_threshold(l, gamma * lam1), x)
+        z, _ = NormL2(self.lam2).prox(u, gamma)
+        return z, self(z)
+
+
+@proxclass(meta_fields=("k",))
+class IndBallL0:
+    """Indicator of the l0 ball {||x||_0 <= k} (NONCONVEX;
+    ``ProximalOperators.IndBallL0``).  The prox keeps the k
+    largest-magnitude entries (hard top-k / iterative hard thresholding —
+    pair with PANOC/ZeroFPR/LiLin).  Ties break toward lower index
+    (stable argsort), matching a deterministic projection choice.
+    Single array leaf; k is static."""
+
+    k: int = 1
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        nnz = jnp.sum(jnp.abs(leaf) > 0)
+        return jnp.where(
+            nnz <= self.k, jnp.zeros((), R), jnp.asarray(jnp.inf, R)
+        )
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        flat = leaf.reshape(-1)
+        order = jnp.argsort(-jnp.abs(flat), stable=True)
+        keep = jnp.zeros(flat.shape, bool).at[order[: self.k]].set(True)
+        z = jnp.where(keep, flat, 0).reshape(leaf.shape)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, _rzero(x)
+
+
+@proxclass
+class DistL2:
+    """f(x) = lam * dist_C(x) = lam * ||x - P_C(x)|| for a convex set C
+    given by an indicator object with an exact projection prox
+    (``ProximalOperators.DistL2``).  Prox: move toward the projection by
+    min(1, gamma*lam / dist) of the way; the value at the prox point is
+    lam * max(dist - gamma*lam, 0)."""
+
+    ind: object
+    lam: object = 1.0
+
+    @property
+    def is_convex(self):
+        return getattr(self.ind, "is_convex", False)
+
+    is_generalized_quadratic = False
+
+    def _proj_dist(self, x):
+        p, _ = self.ind.prox(x, 1.0)
+        d = tree_sub(x, p)
+        return p, jnp.sqrt(tree_vdot_real(d, d))
+
+    def __call__(self, x):
+        _, d = self._proj_dist(x)
+        return _rparam(self.lam, x) * d
+
+    def prox(self, x, gamma):
+        lam = _rparam(self.lam, x)
+        gamma = _rparam(gamma, x)
+        p, d = self._proj_dist(x)
+        step = jnp.minimum(1.0, gamma * lam / jnp.where(d == 0, 1, d))
+        z = tree_map(lambda xl, pl: xl + step.astype(xl.dtype) * (pl - xl),
+                     x, p)
+        return z, lam * jnp.maximum(d - gamma * lam, 0)
+
+
+@proxclass
+class SqrHingeLoss:
+    """f(x) = mu * sum_i max(0, 1 - y_i x_i)^2 — the squared (L2) hinge
+    loss (``ProximalOperators.SqrHingeLoss``): smooth (gradient
+    2*mu*y*(y*x - 1) on the active set), so it pairs with the
+    forward-backward family as the f term; the prox is separable and
+    closed-form (active coordinates solve (1 + 2*mu*gamma) u =
+    v + 2*mu*gamma)."""
+
+    y: object
+    mu: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        mu = _rparam(self.mu, x)
+        return mu * sum(
+            jnp.sum(jnp.maximum(0, 1 - yl * xl) ** 2)
+            for yl, xl in zip(jax.tree.leaves(self.y), jax.tree.leaves(x))
+        )
+
+    def value_and_gradient(self, x):
+        mu = _rparam(self.mu, x)
+        g = tree_map(
+            lambda yl, xl: -2 * mu * yl * jnp.maximum(0, 1 - yl * xl),
+            self.y, x,
+        )
+        return self(x), g
+
+    def prox(self, x, gamma):
+        mu = _rparam(self.mu, x)
+
+        def one(yl, xl):
+            v = yl * xl
+            u = jnp.where(
+                v >= 1, v, (v + 2 * mu * gamma) / (1 + 2 * mu * gamma)
+            )
+            return yl * u
+
+        z = tree_map(one, self.y, x)
+        return z, self(z)

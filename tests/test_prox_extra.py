@@ -348,3 +348,106 @@ def test_norm_linf(dtype):
     zs, _ = NormLinf(1.0).prox(xs, 0.5)
     # only the max coordinate moves, down by gamma*lam (others below it)
     np.testing.assert_allclose(np.asarray(zs), [2.5, -1.0, 0.5], atol=1e-6)
+
+
+def test_ind_soc():
+    """Second-order cone projection: inside -> identity, polar -> 0,
+    outside -> ((t+||v||)/2)(1, v/||v||); plus variational optimality."""
+    from proxtpu.prox import IndSOC
+
+    f = IndSOC()
+    inside = jnp.asarray([2.0, 1.0, 1.0])           # ||v||=sqrt(2) <= 2
+    z, _ = f.prox(inside, 1.0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(inside), atol=0)
+    assert float(f(z)) == 0.0
+    polar = jnp.asarray([-3.0, 1.0, 0.0])           # ||v||=1 <= 3 = -t
+    z, _ = f.prox(polar, 1.0)
+    np.testing.assert_allclose(np.asarray(z), 0.0, atol=0)
+    out = jnp.asarray([0.0, 3.0, 4.0])              # ||v||=5 > 0
+    z, _ = f.prox(out, 1.0)
+    np.testing.assert_allclose(np.asarray(z), [2.5, 1.5, 2.0], atol=1e-6)
+    assert float(f(z)) == 0.0
+    # projection is the closest feasible point
+    rng = np.random.default_rng(0)
+    d0 = float(jnp.sum((z - out) ** 2))
+    for _ in range(30):
+        p = z + 0.1 * jnp.asarray(rng.standard_normal(3))
+        if np.isfinite(float(f(p))):
+            assert float(jnp.sum((p - out) ** 2)) >= d0 - 1e-8
+
+
+def test_norm_l1_plus_l2():
+    """Sparse-group-lasso prox = block-soft o soft, checked against the
+    variational definition."""
+    from proxtpu.prox import NormL1, NormL2, NormL1plusL2
+
+    lam1, lam2, gamma = 0.4, 0.9, 0.7
+    f = NormL1plusL2(lam1, lam2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(10))
+    z, v = f.prox(x, gamma)
+    u, _ = NormL1(lam1).prox(x, gamma)
+    z2, _ = NormL2(lam2).prox(u, gamma)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=0)
+    np.testing.assert_allclose(float(v), float(f(z)), rtol=1e-6)
+    obj = lambda w: float(f(w)) + float(jnp.sum((w - x) ** 2)) / (2 * gamma)
+    base = obj(z)
+    for _ in range(25):
+        d = jnp.asarray(rng.standard_normal(10))
+        assert obj(z + 0.03 * d) >= base - 1e-8 * (1 + abs(base))
+
+
+def test_ind_ball_l0():
+    """Top-k hard projection keeps the k largest magnitudes."""
+    from proxtpu.prox import IndBallL0
+
+    x = jnp.asarray([0.5, -3.0, 1.5, 0.1, -2.0, 0.0])
+    z, _ = IndBallL0(2).prox(x, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(z), [0, -3.0, 0, 0, -2.0, 0], atol=0
+    )
+    f = IndBallL0(2)
+    assert float(f(z)) == 0.0
+    assert not np.isfinite(float(f(x)))
+    # jit + 2-D leaf
+    z2 = jax.jit(lambda u: IndBallL0(3).prox(u, 1.0)[0])(x.reshape(2, 3))
+    assert int(jnp.sum(z2 != 0)) == 3
+
+
+def test_dist_l2():
+    """lam*dist_C prox: partial move toward the projection, full
+    projection once within gamma*lam of the set."""
+    from proxtpu.prox import DistL2, IndBallL2
+
+    f = DistL2(IndBallL2(1.0), 2.0)      # dist to the unit ball, lam=2
+    x = jnp.asarray([3.0, 0.0, 0.0])     # dist = 2, projection = e1
+    v = float(f(x))
+    np.testing.assert_allclose(v, 4.0, rtol=1e-6)
+    z, fz = f.prox(x, 0.5)               # step = min(1, 1/2): halfway
+    np.testing.assert_allclose(np.asarray(z), [2.0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(float(fz), 2.0 * 1.0, rtol=1e-6)  # dist(z)=1
+    z, fz = f.prox(x, 5.0)               # gamma*lam = 10 >= dist: project
+    np.testing.assert_allclose(np.asarray(z), [1.0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(float(fz), 0.0, atol=1e-7)
+
+
+def test_sqr_hinge_loss():
+    """Squared hinge: closed-form prox satisfies smooth stationarity
+    z - x + gamma * grad f(z) = 0, and value_and_gradient matches AD."""
+    from proxtpu.prox import SqrHingeLoss
+
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(np.sign(rng.standard_normal(8)))
+    x = jnp.asarray(rng.standard_normal(8))
+    mu, gamma = 0.7, 0.9
+    f = SqrHingeLoss(y, mu)
+    v, g = f.value_and_gradient(x)
+    v_ad, g_ad = jax.value_and_grad(lambda u: f(u))(x)
+    np.testing.assert_allclose(float(v), float(v_ad), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-6)
+    z, fz = f.prox(x, gamma)
+    _, gz = f.value_and_gradient(z)
+    np.testing.assert_allclose(
+        np.asarray(z - x + gamma * gz), 0.0, atol=1e-6
+    )
+    np.testing.assert_allclose(float(fz), float(f(z)), rtol=1e-6)

@@ -37,7 +37,12 @@ from proxtpu.prox import (
     NormL1,
     NormL2,
     NormL21,
+    NormL1plusL2,
     NormLinf,
+    DistL2,
+    IndBallL0,
+    IndSOC,
+    SqrHingeLoss,
     SqrDistance,
     SqrNormL2,
     SumPositive,
@@ -75,6 +80,11 @@ def _functions(rng):
         IndSimplex(1.0),
         IndHalfspace(a, 0.2),
         NormL0(0.3),  # nonconvex: optimality-among-perturbations only
+        NormL1plusL2(0.3, 0.5),
+        IndSOC(),
+        DistL2(IndBallL2(0.7), 1.3),
+        SqrHingeLoss(y, 0.8),
+        IndBallL0(4),  # nonconvex: optimality-among-perturbations only
     ]
 
 

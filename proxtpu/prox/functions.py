@@ -1061,3 +1061,99 @@ class SqrHingeLoss:
 
         z = tree_map(one, self.y, x)
         return z, self(z)
+
+
+def _capped_simplex_proj(y, cap, total, iters=100):
+    """Projection onto {0 <= s <= cap, sum s = total} (flat vector):
+    s = clip(y - tau, 0, cap) with tau found by bisection on the monotone
+    map tau -> sum clip(y - tau).  Fixed ``iters`` halvings (jittable; 100
+    brackets any f64 range to below 1 ulp)."""
+    lo = jnp.min(y) - cap
+    hi = jnp.max(y)
+
+    def body(_, c):
+        lo, hi = c
+        mid = (lo + hi) / 2
+        s = jnp.sum(jnp.clip(y - mid, 0, cap))
+        too_big = s > total
+        return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.clip(y - (lo + hi) / 2, 0, cap)
+
+
+@proxclass(meta_fields=("k",))
+class IndCappedSimplex:
+    """Indicator of the capped simplex {0 <= x <= cap, sum x = k*cap}
+    (k slots of size cap; with cap=1 the vertex set is the k-hot binary
+    vectors — the convex hull of exact-k selections).  Projection by
+    bisection on the clip threshold.  Single real array leaf; k static."""
+
+    k: int = 1
+    cap: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        cap = _rparam(self.cap, leaf)
+        eps = jnp.finfo(R).eps
+        tol = 1e3 * eps * (1 + self.k) * jnp.maximum(cap, 1)
+        ok = (
+            jnp.all(leaf >= -tol)
+            & jnp.all(leaf <= cap + tol)
+            & (jnp.abs(jnp.sum(leaf) - self.k * cap) <= tol * leaf.size)
+        )
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        cap = _rparam(self.cap, leaf)
+        z = _capped_simplex_proj(
+            leaf.reshape(-1), cap, self.k * cap
+        ).reshape(leaf.shape)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, _rzero(x)
+
+
+@proxclass(meta_fields=("k",))
+class SumLargest:
+    """f(x) = lam * (sum of the k largest ENTRIES of x) — the support
+    function of the capped simplex {0 <= s <= 1, sum s = k}
+    (``ProximalOperators.SumLargest``).  Prox by Moreau against the
+    capped-simplex projection:
+
+        prox_{gamma f}(x) = x - P_{{0<=s<=gamma*lam, sum s = gamma*lam*k}}(x)
+
+    Convex; single real array leaf; k static.  With k=1 this is
+    lam * max(x) (the Maximum function)."""
+
+    k: int = 1
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        top = jax.lax.top_k(leaf.reshape(-1), self.k)[0]
+        return lam * jnp.sum(top)
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        gamma = _rparam(gamma, leaf)
+        c = gamma * lam
+        p = _capped_simplex_proj(leaf.reshape(-1), c, c * self.k)
+        z = (leaf.reshape(-1) - p).reshape(leaf.shape)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, self(zt)
+
+
+def Maximum(lam=1.0):
+    """f(x) = lam * max(x) (``ProximalOperators.Maximum``) — the k=1 case
+    of :class:`SumLargest`."""
+    return SumLargest(1, lam)

@@ -205,3 +205,38 @@ def test_broadcast_hyperparams_tuple_x0():
     # x0's own leaves stayed unwrapped and batched
     assert not isinstance(out.x0[0], Shared)
     assert out.x0[0].shape == (Bn, 7)
+
+
+def test_batched_new_prox_matches_loop():
+    """The widened prox catalogue batches out of the box: per-lane
+    NormL1plusL2 (lam1 sweep) and NormLinf problems through
+    batched_run_loop match the single-problem driver exactly."""
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+    from proxtpu.prox import NormL1plusL2, NormLinf
+
+    rng = np.random.default_rng(3)
+    m, n = 8, 12
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    for gmk in (
+        lambda i: NormL1plusL2(0.02 + 0.03 * i, 0.05),
+        lambda i: NormLinf(0.1 + 0.2 * i),
+    ):
+        problems = [
+            dict(x0=jnp.zeros(n), f=make_least_squares(A, b), g=gmk(i),
+                 Lf=Lf)
+            for i in range(5)
+        ]
+        iteration = batch_problems(
+            make_fast_forward_backward_iteration, problems
+        )
+        xs, iters, done = batched_run_loop(iteration, 3000, TOL)
+        assert bool(jnp.all(done))
+        solver = pa.FastForwardBackward(tol=TOL, maxit=3000)
+        for i, kw in enumerate(problems):
+            x, it = solver(**kw)
+            assert it == int(iters[i]), type(kw["g"]).__name__
+            np.testing.assert_allclose(
+                np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-12
+            )

@@ -451,3 +451,57 @@ def test_sqr_hinge_loss():
         np.asarray(z - x + gamma * gz), 0.0, atol=1e-6
     )
     np.testing.assert_allclose(float(fz), float(f(z)), rtol=1e-6)
+
+
+def test_capped_simplex_projection():
+    """Bisection projection onto {0<=s<=1, sum s = k}: hand oracles and
+    closest-feasible-point optimality."""
+    from proxtpu.prox import IndCappedSimplex
+
+    f = IndCappedSimplex(2)
+    # already feasible
+    x = jnp.asarray([1.0, 0.6, 0.4, 0.0])
+    z, _ = f.prox(x, 1.0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-12)
+    assert float(f(z)) == 0.0
+    # clear top-2 separation projects to the 2-hot vertex
+    z, _ = f.prox(jnp.asarray([5.0, 4.0, 0.1, -3.0]), 1.0)
+    np.testing.assert_allclose(np.asarray(z), [1, 1, 0, 0], atol=1e-9)
+    # optimality: closest feasible point
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.standard_normal(8))
+    z, _ = f.prox(y, 1.0)
+    assert float(f(z)) == 0.0
+    d0 = float(jnp.sum((z - y) ** 2))
+    for _ in range(40):
+        # random feasible point: projection of a random vector
+        p, _ = f.prox(jnp.asarray(rng.standard_normal(8)), 1.0)
+        assert float(jnp.sum((p - y) ** 2)) >= d0 - 1e-9
+
+
+def test_sum_largest_and_maximum():
+    """SumLargest prox via Moreau: value oracle, variational optimality,
+    and the k=1 Maximum alias."""
+    from proxtpu.prox import Maximum, SumLargest
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(9))
+    lam, gamma, k = 0.7, 0.8, 3
+    f = SumLargest(k, lam)
+    np.testing.assert_allclose(
+        float(f(x)),
+        lam * float(np.sum(np.sort(np.asarray(x))[-k:])),
+        rtol=1e-6,
+    )
+    z, v = f.prox(x, gamma)
+    np.testing.assert_allclose(float(v), float(f(z)), rtol=1e-6)
+    obj = lambda u: float(f(u)) + float(jnp.sum((u - x) ** 2)) / (2 * gamma)
+    base = obj(z)
+    for _ in range(30):
+        d = jnp.asarray(rng.standard_normal(9))
+        assert obj(z + 0.03 * d) >= base - 1e-8 * (1 + abs(base))
+    # Maximum = SumLargest(1); for a well-separated max, the prox pulls
+    # only the max coordinate down by gamma*lam
+    m = Maximum(1.0)
+    zs, _ = m.prox(jnp.asarray([3.0, 1.0, -1.0]), 0.5)
+    np.testing.assert_allclose(np.asarray(zs), [2.5, 1.0, -1.0], atol=1e-9)

@@ -41,8 +41,10 @@ from proxtpu.prox import (
     NormLinf,
     DistL2,
     IndBallL0,
+    IndCappedSimplex,
     IndSOC,
     SqrHingeLoss,
+    SumLargest,
     SqrDistance,
     SqrNormL2,
     SumPositive,
@@ -85,6 +87,8 @@ def _functions(rng):
         DistL2(IndBallL2(0.7), 1.3),
         SqrHingeLoss(y, 0.8),
         IndBallL0(4),  # nonconvex: optimality-among-perturbations only
+        IndCappedSimplex(3),
+        SumLargest(2, 0.6),
     ]
 
 

@@ -178,3 +178,43 @@ def test_leading_eigenvector_example():
     )
     assert out["align"] > 1 - 1e-6
     assert out["iterations"] < 500
+
+
+def test_portfolio_cvar_example():
+    """Minimum-CVaR portfolio via Chambolle-Pock + SumLargest: converges,
+    beats the equal-weight CVaR decisively, stays on the simplex, and no
+    feasible perturbation improves the objective."""
+    import importlib.util
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "portfolio_cvar.py")
+    spec = importlib.util.spec_from_file_location("cvar_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    w = out["weights"]
+    assert out["iterations"] < 50_000
+    assert np.all(w >= -1e-8) and abs(np.sum(w) - 1) < 1e-6
+    assert out["cvar_opt"] < out["cvar_equal_weight"] - 0.01
+    # optimality: random simplex-feasible perturbations cannot beat it
+    from proxtpu.prox import IndSimplex
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    proj = lambda v: np.asarray(IndSimplex(1.0).prox(jnp.asarray(v), 1.0)[0])
+    R = None  # reconstruct the example's scenario matrix deterministically
+    rng2 = np.random.default_rng(12)
+    S, n, k = 250, 8, 25
+    expo = rng2.standard_normal((n, 3)) * 0.5
+    factors = rng2.standard_normal((S, 3))
+    mu = np.linspace(0.08, 0.01, n)
+    R = mu[None, :] + factors @ expo.T * 0.1 \
+        + 0.05 * rng2.standard_normal((S, n))
+    cvar = lambda ww: float(np.mean(np.sort(-R @ ww)[-k:]))
+    base = cvar(w)
+    for _ in range(30):
+        p = proj(w + 0.02 * rng.standard_normal(n))
+        assert cvar(p) >= base - 1e-6

@@ -55,14 +55,15 @@ def main(verbose=True):
     gam = 0.9 / opnorm
 
     # 1e-6 on the primal-dual fixed-point residual: ~11k iterations in
-    # f64; CVaR itself is stable to 5 decimals from ~4k (tol 1e-5)
+    # f64; CVaR itself is stable to 5 decimals from ~4k (tol 1e-5).
+    # gamma1*gamma2*||L||^2 < 1 is the Chambolle-Pock stepsize condition.
     w, it = ChambollePock(maxit=50_000, tol=1e-6)(
         x0=jnp.full(n, 1.0 / n),
         y0=jnp.zeros(S),
         g=IndSimplex(1.0),
         h=SumLargest(k, 1.0 / k),
         L=L,
-        theta=1.0, gamma1=gam, gamma2=gam,
+        gamma1=gam, gamma2=gam,
     )
     w_np = np.asarray(w[0] if isinstance(w, tuple) else w)
 
@@ -78,6 +79,8 @@ def main(verbose=True):
         "iterations": int(it),
         "cvar_opt": cvar_opt,
         "cvar_equal_weight": cvar_eq,
+        "R": R,
+        "k": k,
     }
 
 

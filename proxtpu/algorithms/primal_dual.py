@@ -265,15 +265,25 @@ def make_afba_iteration(
 
 def make_vu_condat_iteration(**kwargs):
     """Vu-Condat = AFBA with theta=2 (``primal_dual.jl:136``)."""
-    return make_afba_iteration(**{**kwargs, "theta": 2.0})
+    if "theta" in kwargs:
+        raise ValueError(
+            "theta=2 defines Vu-Condat; to run a different AFBA "
+            "parametrization use AFBA(theta=...) directly"
+        )
+    return make_afba_iteration(**kwargs, theta=2.0)
 
 
 def make_chambolle_pock_iteration(**kwargs):
     """Chambolle-Pock = AFBA with theta=2, f=0, l=Ind{0}
     (``primal_dual.jl:157-158``)."""
-    return make_afba_iteration(
-        **{**kwargs, "theta": 2.0, "f": Zero(), "l": IndZero()}
-    )
+    for key in ("theta", "f", "l"):
+        if key in kwargs:
+            raise ValueError(
+                f"{key} is fixed by the Chambolle-Pock parametrization "
+                "(theta=2, f=0, l=Ind{0}); to override it use "
+                "AFBA(...) directly"
+            )
+    return make_afba_iteration(**kwargs, theta=2.0, f=Zero(), l=IndZero())
 
 
 def AFBA(*, maxit=10_000, tol=1e-5, stop=None, solution=None, verbose=False,
@@ -287,10 +297,22 @@ def AFBA(*, maxit=10_000, tol=1e-5, stop=None, solution=None, verbose=False,
 
 
 def VuCondat(**kwargs):
-    """Vu-Condat primal-dual solver (``primal_dual.jl:301``)."""
-    return AFBA(**{**kwargs, "theta": 2.0})
+    """Vu-Condat primal-dual solver (``primal_dual.jl:301``).
+
+    theta is pinned to 2 by the guarded factory — a call-time
+    ``theta=...`` raises instead of silently changing which algorithm
+    runs (the reference's constructor has no such parameter either)."""
+    alg = AFBA(**kwargs)
+    alg.iteration_factory = make_vu_condat_iteration
+    return alg
 
 
 def ChambollePock(**kwargs):
-    """Chambolle-Pock primal-dual solver (``primal_dual.jl:332``)."""
-    return AFBA(**{**kwargs, "theta": 2.0, "f": Zero(), "l": IndZero()})
+    """Chambolle-Pock primal-dual solver (``primal_dual.jl:332``).
+
+    theta/f/l are pinned by the guarded factory — supplying them at
+    construction or call time raises instead of silently running a
+    different AFBA variant under the Chambolle-Pock name."""
+    alg = AFBA(**kwargs)
+    alg.iteration_factory = make_chambolle_pock_iteration
+    return alg

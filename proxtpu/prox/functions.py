@@ -1025,8 +1025,9 @@ class SqrHingeLoss:
     loss (``ProximalOperators.SqrHingeLoss``): smooth (gradient
     2*mu*y*(y*x - 1) on the active set), so it pairs with the
     forward-backward family as the f term; the prox is separable and
-    closed-form (active coordinates solve (1 + 2*mu*gamma) u =
-    v + 2*mu*gamma)."""
+    closed-form for GENERAL y (not just +-1 labels): coordinates with
+    y*x >= 1 are fixed points, active coordinates solve
+    (1 + 2*mu*gamma*y^2) z = x + 2*mu*gamma*y."""
 
     y: object
     mu: object = 1.0
@@ -1053,11 +1054,12 @@ class SqrHingeLoss:
         mu = _rparam(self.mu, x)
 
         def one(yl, xl):
-            v = yl * xl
-            u = jnp.where(
-                v >= 1, v, (v + 2 * mu * gamma) / (1 + 2 * mu * gamma)
-            )
-            return yl * u
+            # active coordinates (y*z < 1 at the solution) solve the
+            # stationarity equation of mu*(1 - y*u)^2 + (u - x)^2/(2g);
+            # the two branches agree on the boundary, and y = 0 makes
+            # the coordinate a fixed point (its term is constant)
+            zl = (xl + 2 * mu * gamma * yl) / (1 + 2 * mu * gamma * yl * yl)
+            return jnp.where(yl * xl >= 1, xl, zl)
 
         z = tree_map(one, self.y, x)
         return z, self(z)
@@ -1095,8 +1097,19 @@ class IndCappedSimplex:
     is_convex = True
     is_generalized_quadratic = False
 
+    def _check_k(self, leaf):
+        # k and leaf.size are both static: catch the empty set at trace
+        # time instead of silently "projecting" onto nothing
+        if not 1 <= self.k <= leaf.size:
+            raise ValueError(
+                f"IndCappedSimplex(k={self.k}) on a size-{leaf.size} "
+                "iterate: the set {0<=x<=cap, sum x = k*cap} is empty "
+                "unless 1 <= k <= size"
+            )
+
     def __call__(self, x):
         (leaf,) = jax.tree.leaves(x)
+        self._check_k(leaf)
         R = real_dtype_of(leaf)
         cap = _rparam(self.cap, leaf)
         eps = jnp.finfo(R).eps
@@ -1110,6 +1123,7 @@ class IndCappedSimplex:
 
     def prox(self, x, gamma):
         (leaf,) = jax.tree.leaves(x)
+        self._check_k(leaf)
         cap = _rparam(self.cap, leaf)
         z = _capped_simplex_proj(
             leaf.reshape(-1), cap, self.k * cap
@@ -1144,6 +1158,11 @@ class SumLargest:
 
     def prox(self, x, gamma):
         (leaf,) = jax.tree.leaves(x)
+        if not 1 <= self.k <= leaf.size:
+            raise ValueError(
+                f"SumLargest(k={self.k}) on a size-{leaf.size} iterate: "
+                "need 1 <= k <= size"
+            )
         lam = _rparam(self.lam, leaf)
         gamma = _rparam(gamma, leaf)
         c = gamma * lam

@@ -205,15 +205,8 @@ def test_portfolio_cvar_example():
 
     rng = np.random.default_rng(0)
     proj = lambda v: np.asarray(IndSimplex(1.0).prox(jnp.asarray(v), 1.0)[0])
-    R = None  # reconstruct the example's scenario matrix deterministically
-    rng2 = np.random.default_rng(12)
-    S, n, k = 250, 8, 25
-    expo = rng2.standard_normal((n, 3)) * 0.5
-    factors = rng2.standard_normal((S, 3))
-    mu = np.linspace(0.08, 0.01, n)
-    R = mu[None, :] + factors @ expo.T * 0.1 \
-        + 0.05 * rng2.standard_normal((S, n))
-    cvar = lambda ww: float(np.mean(np.sort(-R @ ww)[-k:]))
+    R, k, n = out["R"], out["k"], len(w)
+    cvar = lambda ww: float(np.mean(np.sort(-np.asarray(R) @ ww)[-k:]))
     base = cvar(w)
     for _ in range(30):
         p = proj(w + 0.02 * rng.standard_normal(n))

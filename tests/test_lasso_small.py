@@ -168,3 +168,27 @@ def test_x0_not_mutated(dtype):
     solver = pa.ForwardBackward(tol=TOL)
     solver(x0=x0, f=fA, g=g, Lf=Lf)
     assert bool(jnp.all(x0 == x0_backup))
+
+
+def test_chambolle_pock_identity_params_guarded():
+    """ChambollePock/VuCondat must REJECT user theta/f/l instead of
+    silently running a different AFBA variant under the wrong name
+    (regression: a call-time theta=1.0 used to override the theta=2
+    that defines Chambolle-Pock)."""
+    import pytest
+
+    from proxtpu.prox import SqrNormL2, Zero
+
+    A, b, _, _, _, _, _, _ = setup(np.float64)
+    lam = 0.1 * float(np.max(np.abs(np.asarray(A.conj().T @ b))))
+    kw = dict(
+        x0=jnp.zeros(A.shape[1]), y0=jnp.zeros(A.shape[0]),
+        g=SqrNormL2(lam), h=NormL1(lam), L=A, gamma1=0.01, gamma2=0.01,
+    )
+    with pytest.raises(ValueError, match="Chambolle-Pock"):
+        pa.ChambollePock(tol=1e-4, maxit=10)(theta=1.0, **kw)
+    with pytest.raises(ValueError, match="Chambolle-Pock"):
+        pa.ChambollePock(tol=1e-4, maxit=10)(f=Zero(), **kw)
+    with pytest.raises(ValueError, match="Vu-Condat"):
+        pa.VuCondat(tol=1e-4, maxit=10)(theta=1.0, f=SqrNormL2(lam),
+                                        beta_f=lam, **kw)

@@ -505,3 +505,42 @@ def test_sum_largest_and_maximum():
     m = Maximum(1.0)
     zs, _ = m.prox(jnp.asarray([3.0, 1.0, -1.0]), 0.5)
     np.testing.assert_allclose(np.asarray(zs), [2.5, 1.0, -1.0], atol=1e-9)
+
+
+def test_sqr_hinge_general_y():
+    """SqrHingeLoss.prox must be exact for GENERAL y (not just +-1),
+    including y=0 coordinates (fixed points): stationarity
+    z - x + gamma * grad f(z) = 0 and variational optimality."""
+    from proxtpu.prox import SqrHingeLoss
+
+    y = jnp.asarray([2.0, -0.5, 1.0, 0.0])
+    x = jnp.asarray([0.3, 1.2, -0.4, 0.7])
+    mu, gamma = 0.7, 0.9
+    f = SqrHingeLoss(y, mu)
+    z, fz = f.prox(x, gamma)
+    _, gz = f.value_and_gradient(z)
+    np.testing.assert_allclose(
+        np.asarray(z - x + gamma * gz), 0.0, atol=1e-12
+    )
+    # y=0 coordinate is untouched (its loss term is constant)
+    assert float(z[3]) == float(x[3])
+    obj = lambda u: float(f(u)) + float(jnp.sum((u - x) ** 2)) / (2 * gamma)
+    base = obj(z)
+    rng = np.random.default_rng(6)
+    for _ in range(30):
+        d = jnp.asarray(rng.standard_normal(4))
+        assert obj(z + 0.05 * d) >= base - 1e-10
+
+
+def test_capped_simplex_infeasible_k_raises():
+    """k outside [1, size] makes the capped simplex empty — the prox must
+    raise instead of silently returning an infeasible point."""
+    from proxtpu.prox import IndCappedSimplex, SumLargest
+
+    x = jnp.asarray([0.3, 0.1, -0.2, 0.5])
+    with np.testing.assert_raises(ValueError):
+        IndCappedSimplex(6).prox(x, 1.0)
+    with np.testing.assert_raises(ValueError):
+        IndCappedSimplex(0).prox(x, 1.0)
+    with np.testing.assert_raises(ValueError):
+        SumLargest(6, 1.0).prox(x, 1.0)

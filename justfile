@@ -33,6 +33,9 @@ bench-shared:
 bench-svm:
     python benchmarks/svm_bench.py
 
+bench-cvar:
+    python benchmarks/cvar_bench.py
+
 bench-adaptive-flat:
     python benchmarks/flat_ls_bench.py --adaptive
 

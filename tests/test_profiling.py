@@ -27,8 +27,8 @@ def test_compiled_stats_reports_flops():
     out = compiled_stats(_solve, jnp.zeros(8), A, b, Lf)
     cost = out["cost_analysis"]
     assert cost.get("flops", 0) > 0
-    # one iteration is >= 2 matvecs: 200 iterations of 2*16*8*2 flops is a
-    # loose lower bound the while-loop's static cost must clear
+    # XLA's HloCostAnalysis counts the while-loop BODY once (not per
+    # iteration), so the bound is one iteration's two 16x8 matvecs
     assert cost["flops"] >= 2 * 16 * 8 * 2
     assert out["memory_analysis"] is not None
 

@@ -1,4 +1,10 @@
-from .core import IterativeAlgorithm, run_loop, states
+from .core import (
+    IterativeAlgorithm,
+    RecordedTrace,
+    run_loop,
+    run_loop_recorded,
+    states,
+)
 from .douglas_rachford import (
     DouglasRachford,
     DouglasRachfordIteration,
@@ -36,7 +42,9 @@ from .primal_dual import (
 
 __all__ = [
     "IterativeAlgorithm",
+    "RecordedTrace",
     "run_loop",
+    "run_loop_recorded",
     "states",
     "ForwardBackward",
     "ForwardBackwardIteration",

@@ -29,6 +29,7 @@ iterator-only usage of ``docs/src/guide/getting_started.jl:136-152``) via
 from __future__ import annotations
 
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,119 @@ def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
     return solution(iteration, state), k
 
 
+class RecordedTrace(NamedTuple):
+    """On-device iteration history returned by :func:`run_loop_recorded`.
+
+    ``values`` is the pytree ``record`` returned, with a leading time axis of
+    length ``maxit // record_every``; slot ``j`` holds the record taken at
+    iteration ``k = (j + 1) * record_every``.  ``count`` is how many slots
+    were actually written (the rest stay NaN for inexact dtypes / sentinel
+    minima for exact ones), so ``values[:count]`` is the valid prefix.
+    """
+
+    values: Any
+    count: jax.Array
+
+    def valid(self):
+        """Eager convenience: the written prefix of every leaf."""
+        n = int(self.count)
+        return jax.tree.map(lambda v: v[:n], self.values)
+
+
+def _trace_buffers(slots, vals_shape):
+    """Preallocate (slots+1, *leaf) buffers; the extra slot is a write sink
+    for non-recording iterations (branchless ``dynamic_update_index``)."""
+
+    def alloc(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
+            fill = jnp.nan
+        elif leaf.dtype == jnp.bool_:
+            fill = False
+        else:
+            fill = jnp.iinfo(leaf.dtype).min
+        return jnp.full((slots + 1,) + tuple(leaf.shape), fill, leaf.dtype)
+
+    return jax.tree.map(alloc, vals_shape)
+
+
+def _trace_write(buf, vals, k, record_every, slots):
+    """Write ``vals`` at slot ``k // record_every - 1`` when ``k`` is a
+    recording iteration, else into the sink slot — no ``lax.cond``, so the
+    write fuses into the loop body."""
+    slot = jnp.where(k % record_every == 0, k // record_every - 1, slots)
+    return jax.tree.map(
+        lambda b, v: jax.lax.dynamic_update_index_in_dim(
+            b, v.astype(b.dtype), slot, axis=0
+        ),
+        buf, jax.tree.map(jnp.asarray, vals),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "maxit", "stop", "solution", "record", "record_every",
+        "verbose", "freq", "display",
+    ),
+)
+def run_loop_recorded(iteration, maxit, tol, stop, solution, record,
+                      record_every=1, verbose=False, freq=100, display=None,
+                      initial_state=None, k0=1):
+    """Like :func:`run_loop`, but additionally samples
+    ``record(iteration, k, state)`` every ``record_every`` iterations into
+    fixed-size on-device buffers and returns
+    ``(solution, iteration_count, RecordedTrace)``.
+
+    This is the jit-native counterpart of the reference's iterator
+    combinators (``tee``/``sample``, ``src/utilities/iteration_tools.jl``)
+    and of the guide's collect-the-iterates pattern
+    (``docs/src/guide/getting_started.jl:146-152``): the history lives in
+    the ``lax.while_loop`` carry, so there are no host callbacks and the
+    loop stays a single compiled program.  ``record`` may return any pytree
+    of arrays — scalars (objective, residual) or whole iterates.
+
+    ``maxit`` and ``record_every`` are static (they size the buffers).  On
+    resume (``k0 > 1``) slots before ``k0`` are left unwritten and ``count``
+    still reports the highest slot written, i.e. ``k // record_every``.
+    """
+    state = iteration.init() if initial_state is None else initial_state
+    slots = maxit // record_every
+    vals_shape = jax.eval_shape(
+        lambda s: record(iteration, jnp.asarray(k0, jnp.int32), s), state
+    )
+    buf = _trace_buffers(slots, vals_shape)
+    k_init = jnp.asarray(k0, jnp.int32)
+    buf = _trace_write(
+        buf, record(iteration, k_init, state), k_init, record_every, slots
+    )
+
+    def cond(carry):
+        k, s, _ = carry
+        return (k < maxit) & jnp.logical_not(stop(iteration, tol, s))
+
+    def body(carry):
+        k, s, b = carry
+        s = iteration.step(s)
+        k = k + 1
+        b = _trace_write(b, record(iteration, k, s), k, record_every, slots)
+        if verbose:
+            jax.lax.cond(
+                k % freq == 0,
+                lambda: display(k, iteration, s),
+                lambda: None,
+            )
+        return (k, s, b)
+
+    k, state, buf = jax.lax.while_loop(cond, body, (k_init, state, buf))
+    if verbose:
+        display(k, iteration, state)
+    trace = RecordedTrace(
+        values=jax.tree.map(lambda b: b[:slots], buf),
+        count=k // record_every,
+    )
+    return solution(iteration, state), k, trace
+
+
 class IterativeAlgorithm:
     """Partial application of an iteration type plus run options.
 
@@ -145,6 +259,36 @@ class IterativeAlgorithm:
             self.verbose,
             self.freq,
             self.display,
+            initial_state=resume_from,
+            k0=1 if resume_iters is None else resume_iters,
+        )
+
+    def run_recorded(self, record, record_every=1, resume_from=None,
+                     resume_iters=None, **kwargs):
+        """Jittable run with on-device history: returns
+        ``(solution, iteration_count, RecordedTrace)``.
+
+        ``record(iteration, k, state) -> pytree`` is sampled every
+        ``record_every`` iterations into preallocated buffers (see
+        :func:`run_loop_recorded`).  Example::
+
+            x, it, tr = solver.run_recorded(
+                lambda it, k, s: jnp.max(jnp.abs(s.res)) / s.gamma,
+                record_every=10, x0=x0, f=f, g=g, Lf=Lf)
+            residual_curve = tr.valid()
+        """
+        iteration = self.make_iteration(**kwargs)
+        return run_loop_recorded(
+            iteration,
+            self.maxit,
+            self.tol,
+            self.stop,
+            self.solution,
+            record,
+            record_every=record_every,
+            verbose=self.verbose,
+            freq=self.freq,
+            display=self.display if self.verbose else None,
             initial_state=resume_from,
             k0=1 if resume_iters is None else resume_iters,
         )

@@ -1,0 +1,143 @@
+"""On-device trace recording (``run_recorded`` / ``run_loop_recorded``).
+
+The jit-native counterpart of the reference's iterator combinators
+(``tee``/``sample``, ``src/utilities/iteration_tools.jl:44-100``) and of the
+collect-the-iterates pattern (``docs/src/guide/getting_started.jl:146-152``):
+history buffers live in the while-loop carry, so parity is checked against
+the eager ``states()`` generator, which IS the reference execution model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import proxtpu as pa
+from proxtpu.algorithms.core import states
+from proxtpu.prox import NormL1, make_least_squares
+from proxtpu.utils.tree import tree_inf_norm
+
+from problems import LASSO_A, LASSO_B, LASSO_XSTAR, as_dtype
+
+
+def setup(dtype=jnp.float64):
+    A = as_dtype(LASSO_A, dtype)
+    b = as_dtype(LASSO_B, dtype)
+    Lf = float(np.linalg.norm(LASSO_A, 2) ** 2)
+    lam = 0.1 * float(jnp.max(jnp.abs(A.T @ b)))
+    return make_least_squares(A, b), NormL1(lam), Lf
+
+
+def residual(it, k, s):
+    return tree_inf_norm(s.res) / s.gamma
+
+
+def eager_residuals(solver, n, **kw):
+    iteration = solver.make_iteration(**kw)
+    out = []
+    for k, s in enumerate(states(iteration, max_states=n), start=1):
+        out.append(float(residual(iteration, k, s)))
+    return np.array(out)
+
+
+def test_recorded_matches_plain_run_and_eager_states():
+    fA, g, Lf = setup()
+    kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)
+    solver = pa.FastForwardBackward(tol=1e-8, maxit=500)
+
+    x_plain, it_plain = solver(**kw)
+    x_rec, it_rec, tr = solver.run_recorded(residual, **kw)
+
+    # recording must not perturb the solve
+    assert int(it_rec) == it_plain
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x_plain))
+    np.testing.assert_allclose(
+        np.asarray(x_rec), LASSO_XSTAR, atol=1e-6
+    )
+
+    # every-iteration trace == the eager states() stream, exactly
+    assert int(tr.count) == it_plain
+    got = np.asarray(tr.values)[: int(tr.count)]
+    want = eager_residuals(solver, it_plain, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # padding beyond count is NaN
+    assert np.all(np.isnan(np.asarray(tr.values)[int(tr.count):]))
+
+
+def test_record_every_samples_the_right_iterations():
+    fA, g, Lf = setup()
+    kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)
+    solver = pa.FastForwardBackward(tol=1e-8, maxit=500)
+    every = 10
+
+    _, it, tr = solver.run_recorded(residual, record_every=every, **kw)
+    n = int(it) // every
+    assert int(tr.count) == n
+
+    eager = eager_residuals(solver, int(it), **kw)
+    got = np.asarray(tr.valid())
+    # slot j holds iteration (j+1)*every, i.e. eager index (j+1)*every - 1
+    np.testing.assert_allclose(got, eager[every - 1 :: every][:n], rtol=1e-12)
+
+
+def test_record_whole_iterates_pytree():
+    fA, g, Lf = setup()
+    kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)
+    solver = pa.FastForwardBackward(tol=1e-6, maxit=300)
+
+    def rec(it, k, s):
+        return {"x": s.x, "res_norm": tree_inf_norm(s.res)}
+
+    x, it, tr = solver.run_recorded(rec, **kw)
+    n = int(tr.count)
+    xs = np.asarray(tr.values["x"])
+    assert xs.shape == (300, 5)
+    # the final recorded iterate is the state the solution was read from
+    iteration = solver.make_iteration(**kw)
+    last = None
+    for s in states(iteration, max_states=n):
+        last = s
+    np.testing.assert_allclose(xs[n - 1], np.asarray(last.x), rtol=1e-12)
+    assert np.all(np.isnan(xs[n:]))
+    assert np.asarray(tr.values["res_norm"]).shape == (300,)
+
+
+def test_recorded_is_jittable_end_to_end():
+    fA, g, Lf = setup()
+    solver = pa.PANOC(tol=1e-7, maxit=200)
+
+    @jax.jit
+    def solve(x0):
+        return solver.run_recorded(
+            residual, record_every=5, x0=x0, f=fA, g=g, Lf=Lf
+        )
+
+    x, it, tr = solve(jnp.zeros(5, jnp.float64))
+    assert int(tr.count) == int(it) // 5
+    vals = np.asarray(tr.values)[: int(tr.count)]
+    assert np.all(np.isfinite(vals))
+    np.testing.assert_allclose(np.asarray(x), LASSO_XSTAR, atol=1e-5)
+
+
+def test_recorded_resume_continues_slots():
+    fA, g, Lf = setup()
+    kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)
+    solver = pa.FastForwardBackward(tol=1e-8, maxit=500)
+
+    _, it_full, tr_full = solver.run_recorded(residual, **kw)
+
+    iteration = solver.make_iteration(**kw)
+    snap = None
+    for s in states(iteration, max_states=50):
+        snap = s
+    _, it_res, tr_res = solver.run_recorded(
+        residual, resume_from=snap, resume_iters=50, **kw
+    )
+    assert int(it_res) == int(it_full)
+    full = np.asarray(tr_full.values)
+    res = np.asarray(tr_res.values)
+    # resumed run writes slots 49.. (iterations 50..); earlier slots unwritten
+    np.testing.assert_allclose(
+        res[49 : int(it_res)], full[49 : int(it_full)], rtol=1e-12
+    )
+    assert np.all(np.isnan(res[:49]))

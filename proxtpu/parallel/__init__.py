@@ -26,6 +26,7 @@ from .batch import (
     BatchedAlgorithm,
     batch_problems,
     batched_run_loop,
+    batched_run_recorded,
     batched_run_segments,
     broadcast_hyperparams,
     compacting_batched_run,
@@ -67,6 +68,7 @@ __all__ = [
     "batched_zerofpr",
     "batch_problems",
     "batched_run_loop",
+    "batched_run_recorded",
     "batched_run_segments",
     "broadcast_hyperparams",
     "compacting_batched_run",

@@ -237,6 +237,93 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     )
 
 
+@partial(jax.jit, static_argnames=("maxit", "record", "record_every",
+                                   "stop", "solution"))
+def batched_run_recorded(iteration, maxit, tol, record, record_every=1,
+                         stop=None, solution=None):
+    """Batched solve with per-lane on-device history: returns
+    ``(solutions, iters, done, RecordedTrace)``.
+
+    The batched counterpart of
+    :func:`proxtpu.algorithms.core.run_loop_recorded`:
+    ``record(iteration, k, state) -> pytree`` is evaluated per lane (vmapped,
+    Shared-aware) every ``record_every`` iterations, so every trace leaf
+    gains a leading ``(slots, B)`` time-by-lane block — per-lane convergence
+    curves for a whole sweep in one compiled loop, no host round-trips.
+
+    Semantics are the exact ``check_every=1`` batched driver: converged
+    lanes freeze, so their recorded values plateau at the frozen state from
+    their convergence slot onward; ``trace.count`` is the number of slots
+    written globally (the slowest lane's progress), and slot ``j`` of lane
+    ``i`` is meaningful for iterations up to ``iters[i]``.  ``maxit`` and
+    ``record_every`` are static (they size the buffers).
+    """
+    from ..algorithms.core import (  # local: avoid a circular import
+        RecordedTrace, _trace_buffers, _trace_write,
+    )
+
+    stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
+    solution_ = solution or (lambda it, s: it.default_solution(s))
+
+    iteration = broadcast_hyperparams(iteration)
+    it_axes = batch_axes(iteration)
+    state = jax.vmap(
+        lambda it: unwrap_shared(it).init(), in_axes=(it_axes,)
+    )(iteration)
+    vstep = jax.vmap(lambda it, s: unwrap_shared(it).step(s),
+                     in_axes=(it_axes, 0))
+    vstop = jax.vmap(lambda it, s: stop_(unwrap_shared(it), tol, s),
+                     in_axes=(it_axes, 0))
+    vrecord = jax.vmap(
+        lambda it, k, s: record(unwrap_shared(it), k, s),
+        in_axes=(it_axes, None, 0),
+    )
+
+    done0 = vstop(iteration, state)
+    B = done0.shape[0]
+    slots = maxit // record_every
+    vals_shape = jax.eval_shape(
+        lambda s: vrecord(iteration, jnp.asarray(1, jnp.int32), s), state
+    )
+    buf = _trace_buffers(slots, vals_shape)
+    k_init = jnp.asarray(1, jnp.int32)
+    buf = _trace_write(
+        buf, vrecord(iteration, k_init, state), k_init, record_every, slots
+    )
+
+    def cond(carry):
+        k, s, done, iters, _ = carry
+        return (k < maxit) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        k, s, done, iters, b = carry
+        s = _freeze(done, s, vstep(iteration, s))
+        k = k + 1
+        b = _trace_write(b, vrecord(iteration, k, s), k, record_every, slots)
+        newly_done = vstop(iteration, s)
+        iters = jnp.where(done, iters, k)
+        done = done | newly_done
+        return (k, s, done, iters, b)
+
+    k, state, done, iters, buf = jax.lax.while_loop(
+        cond, body, (k_init, state, done0, jnp.ones((B,), jnp.int32), buf)
+    )
+    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
+    trace = RecordedTrace(
+        values=jax.tree.map(lambda b: b[:slots], buf),
+        count=k // record_every,
+    )
+    return (
+        jax.vmap(
+            lambda it, s: solution_(unwrap_shared(it), s),
+            in_axes=(it_axes, 0),
+        )(iteration, state),
+        iters,
+        done,
+        trace,
+    )
+
+
 # axes are recomputed at trace time from the treedef (which keys the jit
 # cache), so Shared-containing iterations get their in_axes=None for free
 @jax.jit

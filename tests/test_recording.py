@@ -119,6 +119,54 @@ def test_recorded_is_jittable_end_to_end():
     np.testing.assert_allclose(np.asarray(x), LASSO_XSTAR, atol=1e-5)
 
 
+def test_batched_recorded_matches_per_lane_single_runs():
+    from proxtpu.parallel import batch_problems, batched_run_recorded
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+
+    rng = np.random.default_rng(7)
+    problems = []
+    for k in range(4):
+        A = jnp.asarray(rng.standard_normal((8, 12)))
+        b = jnp.asarray(rng.standard_normal(8))
+        lam = (0.05 + 0.1 * k) * float(jnp.max(jnp.abs(A.T @ b)))
+        Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+        problems.append(dict(
+            x0=jnp.zeros(12, jnp.float64), f=make_least_squares(A, b),
+            g=NormL1(lam), Lf=Lf,
+        ))
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+
+    maxit, tol, every = 2000, 1e-6, 5
+    xs, iters, done, tr = batched_run_recorded(
+        iteration, maxit, tol, residual, record_every=every
+    )
+    assert bool(jnp.all(done))
+    vals = np.asarray(tr.values)  # (slots, B)
+    assert vals.shape == (maxit // every, 4)
+    assert int(tr.count) == int(np.max(np.asarray(iters))) // every
+
+    solver = pa.FastForwardBackward(tol=tol, maxit=maxit)
+    for i, kw in enumerate(problems):
+        x1, it1, tr1 = solver.run_recorded(residual, record_every=every, **kw)
+        assert int(it1) == int(iters[i])
+        n1 = int(tr1.count)
+        lane = vals[:, i]
+        single = np.asarray(tr1.values)
+        # lane curve == single-problem curve over the lane's live prefix
+        np.testing.assert_allclose(lane[:n1], single[:n1], rtol=0, atol=1e-12)
+        # after the lane converges it freezes: the curve plateaus at the
+        # frozen (converged) state's residual, which passed the criterion
+        plateau = lane[n1 : int(tr.count)]
+        if plateau.size:
+            assert np.all(plateau == plateau[0])
+            assert plateau[0] <= tol
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x1), rtol=0, atol=1e-12
+        )
+    # beyond the global count everything is NaN padding
+    assert np.all(np.isnan(vals[int(tr.count):]))
+
+
 def test_recorded_resume_continues_slots():
     fA, g, Lf = setup()
     kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)

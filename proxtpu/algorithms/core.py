@@ -131,15 +131,34 @@ def _trace_buffers(slots, vals_shape):
 
 def _trace_write(buf, vals, k, record_every, slots):
     """Write ``vals`` at slot ``k // record_every - 1`` when ``k`` is a
-    recording iteration, else into the sink slot — no ``lax.cond``, so the
-    write fuses into the loop body."""
-    slot = jnp.where(k % record_every == 0, k // record_every - 1, slots)
-    return jax.tree.map(
-        lambda b, v: jax.lax.dynamic_update_index_in_dim(
-            b, v.astype(b.dtype), slot, axis=0
-        ),
-        buf, jax.tree.map(jnp.asarray, vals),
-    )
+    recording iteration.
+
+    ``record_every == 1`` writes unconditionally (every iteration records —
+    branchless, fuses into the loop body).  Sparser cadences predicate the
+    write with ``lax.cond`` so non-recording iterations need not touch the
+    buffers.  Measured cost at the flagship 256-lane lasso
+    (``benchmarks/recording_bench.py``): scalar traces are FREE at any
+    cadence (803 vs 802 p/s unrecorded); whole-iterate traces cost ~10x on
+    the axon tunnel chip regardless of cadence or write structure
+    (sink-slot and cond measured identical) — the (slots, B, N) carry
+    buffer round-trips at the platform's ~27 GB/s full-array floor every
+    trip, the same artifact BASELINE.md documents for elementwise chains.
+    Record scalars/small summaries for production monitoring; whole-iterate
+    capture is a diagnostics mode."""
+    vals = jax.tree.map(jnp.asarray, vals)
+
+    def write(b_tree):
+        slot = jnp.maximum(k // record_every - 1, 0)
+        return jax.tree.map(
+            lambda b, v: jax.lax.dynamic_update_index_in_dim(
+                b, v.astype(b.dtype), slot, axis=0
+            ),
+            b_tree, vals,
+        )
+
+    if record_every == 1:
+        return write(buf)
+    return jax.lax.cond(k % record_every == 0, write, lambda b: b, buf)
 
 
 @partial(

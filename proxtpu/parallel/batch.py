@@ -679,6 +679,32 @@ class BatchedAlgorithm:
             verbose=self.verbose, freq=self.freq,
         )
 
+    def run_recorded(self, record, record_every=1, **kwargs):
+        """Batched solve with per-lane on-device history: returns
+        ``(solutions, iters, done, RecordedTrace)``.
+
+        Always takes the generic vmapped driver (the kernel fast paths have
+        no record hook — recording is a diagnostics mode), with the same
+        bounded-search injection as ``__call__`` so line-search algorithms
+        stay batchable.  See :func:`batched_run_recorded`.
+        """
+        import inspect
+
+        merged = {**self.kwargs, **kwargs}
+        if "backtrack_limit" not in merged:
+            try:
+                params = inspect.signature(self.iteration_factory).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if "backtrack_limit" in params:
+                merged["backtrack_limit"] = _default_backtrack_limit(merged)
+        iteration = self.iteration_factory(**merged)
+        return batched_run_recorded(
+            iteration, self.maxit, self.tol, record,
+            record_every=record_every, stop=self.stop,
+            solution=self.solution,
+        )
+
 
 def batch_problems(factory, problem_list):
     """Build a batched iteration from a list of per-problem kwargs dicts

@@ -167,6 +167,31 @@ def test_batched_recorded_matches_per_lane_single_runs():
     assert np.all(np.isnan(vals[int(tr.count):]))
 
 
+def test_batched_algorithm_run_recorded_linesearch():
+    """BatchedAlgorithm.run_recorded takes the generic driver and injects
+    the bounded line-search lowering, so PANOC records out of the box."""
+    from proxtpu.parallel import BatchedAlgorithm, stack_iterations
+    from proxtpu.algorithms import make_panoc_iteration
+
+    fA, g, Lf = setup()
+    alg = BatchedAlgorithm(make_panoc_iteration, maxit=200, tol=1e-7)
+    lams = [0.5, 1.0, 2.0]
+    xs, iters, done, tr = alg.run_recorded(
+        residual,
+        record_every=2,
+        x0=jnp.zeros((3, 5), jnp.float64),
+        f=fA, g=NormL1(jnp.asarray(lams) * g.lam), Lf=Lf,
+    )
+    assert bool(jnp.all(done))
+    vals = np.asarray(tr.values)
+    assert vals.shape == (100, 3)
+    live = vals[: int(tr.count)]
+    # every lane's curve ends at (or, for the slowest lane — whose final
+    # sample can land one step before its stop fires — near) tolerance
+    assert np.all(live[-1] <= 1e-5)
+    assert np.all(live[-1] < live[0])
+
+
 def test_recorded_resume_continues_slots():
     fA, g, Lf = setup()
     kw = dict(x0=jnp.zeros(5, jnp.float64), f=fA, g=g, Lf=Lf)

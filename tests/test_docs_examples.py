@@ -211,3 +211,24 @@ def test_portfolio_cvar_example():
     for _ in range(30):
         p = proj(w + 0.02 * rng.standard_normal(n))
         assert cvar(p) >= base - 1e-6
+
+
+def test_convergence_curves_example():
+    """On-device recording example: all three solvers agree on the
+    minimizer, the quasi-Newton solvers need far fewer iterations than
+    FISTA, and every recorded curve ends at/below tolerance."""
+    import importlib.util
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "convergence_curves.py")
+    spec = importlib.util.spec_from_file_location("curves_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["ZeroFPR"]["it"] < out["FISTA"]["it"]
+    assert out["PANOC"]["it"] < out["FISTA"]["it"]
+    for r in out.values():
+        assert r["curve"][-1] <= mod.TOL
+        assert len(r["curve"]) == r["it"]

@@ -42,6 +42,9 @@ bench-adaptive-flat:
 bench-blocking:
     python benchmarks/flat_ls_bench.py --blocking
 
+bench-recording:
+    python benchmarks/recording_bench.py
+
 scaling:
     python benchmarks/scaling.py --platform cpu
 

@@ -108,14 +108,28 @@ class RecordedTrace(NamedTuple):
     count: jax.Array
 
     def valid(self):
-        """Eager convenience: the written prefix of every leaf."""
+        """Eager convenience: the written prefix of every leaf.
+
+        Caveat on resume (``k0 > 1``): ``count`` is ``k // record_every``
+        including slots *before* the resume point, which were never written
+        this segment — so the returned prefix can lead with fill values
+        (NaN for inexact dtypes) for those slots.  Concatenate the previous
+        segment's trace over them, or slice from
+        ``(k0 - 1) // record_every``."""
         n = int(self.count)
         return jax.tree.map(lambda v: v[:n], self.values)
 
 
 def _trace_buffers(slots, vals_shape):
-    """Preallocate (slots+1, *leaf) buffers; the extra slot is a write sink
-    for non-recording iterations (branchless ``dynamic_update_index``)."""
+    """Preallocate (slots+1, *leaf) buffers.
+
+    The one extra slot exists ONLY to absorb the degenerate resume write:
+    with ``k0 > maxit`` the pre-loop write targets slot ``>= slots``, and
+    XLA's ``dynamic_update_slice`` clamps the index — the spare slot keeps
+    that clamped write from corrupting the last real slot.  Normal-cadence
+    writes (an earlier sink-slot design for non-recording iterations was
+    abandoned; ``lax.cond`` predication measured identical) always land in
+    ``[0, slots)``."""
 
     def alloc(leaf):
         if jnp.issubdtype(leaf.dtype, jnp.inexact):
@@ -129,7 +143,7 @@ def _trace_buffers(slots, vals_shape):
     return jax.tree.map(alloc, vals_shape)
 
 
-def _trace_write(buf, vals, k, record_every, slots):
+def _trace_write(buf, vals, k, record_every):
     """Write ``vals`` at slot ``k // record_every - 1`` when ``k`` is a
     recording iteration.
 
@@ -137,14 +151,14 @@ def _trace_write(buf, vals, k, record_every, slots):
     branchless, fuses into the loop body).  Sparser cadences predicate the
     write with ``lax.cond`` so non-recording iterations need not touch the
     buffers.  Measured cost at the flagship 256-lane lasso
-    (``benchmarks/recording_bench.py``): scalar traces are FREE at any
-    cadence (803 vs 802 p/s unrecorded); whole-iterate traces cost ~10x on
-    the axon tunnel chip regardless of cadence or write structure
-    (sink-slot and cond measured identical) — the (slots, B, N) carry
-    buffer round-trips at the platform's ~27 GB/s full-array floor every
-    trip, the same artifact BASELINE.md documents for elementwise chains.
-    Record scalars/small summaries for production monitoring; whole-iterate
-    capture is a diagnostics mode."""
+    (``benchmarks/recording_bench.py``, ``results_recording.jsonl``):
+    scalar traces are FREE at any cadence (788.8 vs 789.8 p/s unrecorded);
+    whole-iterate traces cost ~13.5x on the axon tunnel chip regardless of
+    cadence or write structure (sink-slot and cond measured identical) —
+    the (slots, B, N) carry buffer round-trips at the platform's ~27 GB/s
+    full-array floor every trip, the same artifact BASELINE.md documents
+    for elementwise chains.  Record scalars/small summaries for production
+    monitoring; whole-iterate capture is a diagnostics mode."""
     vals = jax.tree.map(jnp.asarray, vals)
 
     def write(b_tree):
@@ -187,6 +201,11 @@ def run_loop_recorded(iteration, maxit, tol, stop, solution, record,
     ``maxit`` and ``record_every`` are static (they size the buffers).  On
     resume (``k0 > 1``) slots before ``k0`` are left unwritten and ``count``
     still reports the highest slot written, i.e. ``k // record_every``.
+
+    ``record`` is a *static* jit argument: its identity keys the compile
+    cache.  For repeated solves, pass a module-level function (or a
+    ``functools.partial`` bound once) — a fresh inline ``lambda`` per call
+    recompiles the entire solve loop every invocation.
     """
     state = iteration.init() if initial_state is None else initial_state
     slots = maxit // record_every
@@ -196,7 +215,7 @@ def run_loop_recorded(iteration, maxit, tol, stop, solution, record,
     buf = _trace_buffers(slots, vals_shape)
     k_init = jnp.asarray(k0, jnp.int32)
     buf = _trace_write(
-        buf, record(iteration, k_init, state), k_init, record_every, slots
+        buf, record(iteration, k_init, state), k_init, record_every
     )
 
     def cond(carry):
@@ -207,7 +226,7 @@ def run_loop_recorded(iteration, maxit, tol, stop, solution, record,
         k, s, b = carry
         s = iteration.step(s)
         k = k + 1
-        b = _trace_write(b, record(iteration, k, s), k, record_every, slots)
+        b = _trace_write(b, record(iteration, k, s), k, record_every)
         if verbose:
             jax.lax.cond(
                 k % freq == 0,
@@ -289,7 +308,10 @@ class IterativeAlgorithm:
 
         ``record(iteration, k, state) -> pytree`` is sampled every
         ``record_every`` iterations into preallocated buffers (see
-        :func:`run_loop_recorded`).  Example::
+        :func:`run_loop_recorded`).  ``record`` keys the jit cache by
+        identity — for repeated solves define it once at module level (as
+        the examples' top-level ``residual`` functions do) rather than
+        inline, or every call recompiles the loop.  Example::
 
             x, it, tr = solver.run_recorded(
                 lambda it, k, s: jnp.max(jnp.abs(s.res)) / s.gamma,

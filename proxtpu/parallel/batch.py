@@ -288,7 +288,7 @@ def batched_run_recorded(iteration, maxit, tol, record, record_every=1,
     buf = _trace_buffers(slots, vals_shape)
     k_init = jnp.asarray(1, jnp.int32)
     buf = _trace_write(
-        buf, vrecord(iteration, k_init, state), k_init, record_every, slots
+        buf, vrecord(iteration, k_init, state), k_init, record_every
     )
 
     def cond(carry):
@@ -299,7 +299,7 @@ def batched_run_recorded(iteration, maxit, tol, record, record_every=1,
         k, s, done, iters, b = carry
         s = _freeze(done, s, vstep(iteration, s))
         k = k + 1
-        b = _trace_write(b, vrecord(iteration, k, s), k, record_every, slots)
+        b = _trace_write(b, vrecord(iteration, k, s), k, record_every)
         newly_done = vstop(iteration, s)
         iters = jnp.where(done, iters, k)
         done = done | newly_done
@@ -605,6 +605,22 @@ class BatchedAlgorithm:
         self.freq = freq
         self.kwargs = kwargs
 
+    def _inject_backtrack_limit(self, merged):
+        """Default ``backtrack_limit`` in ``merged`` (in place) when the
+        iteration factory accepts one and the caller did not set it — the
+        single injection policy shared by ``__call__`` and
+        ``run_recorded`` (generic-path batched contexts lower bounded
+        searches to their fixed-trip masked form; see ``__call__``)."""
+        import inspect
+
+        if "backtrack_limit" not in merged:
+            try:
+                params = inspect.signature(self.iteration_factory).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if "backtrack_limit" in params:
+                merged["backtrack_limit"] = _default_backtrack_limit(merged)
+
     def __call__(self, **kwargs):
         merged = {**self.kwargs, **kwargs}
         if self.use_kernels and not self.verbose:
@@ -662,15 +678,7 @@ class BatchedAlgorithm:
         # dispatch attempts, the matchers see backtrack_limit only when the
         # USER provided it (they fall back then: the flat machines always
         # search to acceptance and cannot honor a truncated search).
-        import inspect
-
-        if "backtrack_limit" not in merged:
-            try:
-                params = inspect.signature(self.iteration_factory).parameters
-            except (TypeError, ValueError):
-                params = {}
-            if "backtrack_limit" in params:
-                merged["backtrack_limit"] = _default_backtrack_limit(merged)
+        self._inject_backtrack_limit(merged)
         iteration = self.iteration_factory(**merged)
         # batched_run_loop broadcasts rank-0 hyperparameters itself
         return batched_run_loop(
@@ -688,16 +696,8 @@ class BatchedAlgorithm:
         bounded-search injection as ``__call__`` so line-search algorithms
         stay batchable.  See :func:`batched_run_recorded`.
         """
-        import inspect
-
         merged = {**self.kwargs, **kwargs}
-        if "backtrack_limit" not in merged:
-            try:
-                params = inspect.signature(self.iteration_factory).parameters
-            except (TypeError, ValueError):
-                params = {}
-            if "backtrack_limit" in params:
-                merged["backtrack_limit"] = _default_backtrack_limit(merged)
+        self._inject_backtrack_limit(merged)
         iteration = self.iteration_factory(**merged)
         return batched_run_recorded(
             iteration, self.maxit, self.tol, record,

@@ -60,8 +60,14 @@ MAXIT = {
 }
 
 
-def solver_configs(A, b, lam, dtype):
-    """The 10 configs of ``benchmark/benchmarks.jl:47-134``."""
+def solver_configs(A, b, lam, dtype, check_every=1):
+    """The 10 configs of ``benchmark/benchmarks.jl:47-134``.
+
+    ``check_every=K`` runs K steps per while-loop trip in the single-
+    problem driver with exact masked freezing (same counts/solutions as
+    K=1; see ``run_loop``) — on the axon tunnel, iteration-bound solves
+    are trip-quantum-bound, so K amortizes the ~280 us per-trip cost.
+    """
     import jax.numpy as jnp
 
     import proxtpu as pa
@@ -82,30 +88,35 @@ def solver_configs(A, b, lam, dtype):
     fsd = SqrDistance(bj)
     opn2 = float(np.linalg.norm(A, 2) ** 2)
 
+    ce = check_every
     return {
         "ForwardBackward": (
-            pa.ForwardBackward(tol=1e-6, maxit=MAXIT["ForwardBackward"]),
+            pa.ForwardBackward(tol=1e-6, maxit=MAXIT["ForwardBackward"],
+                               check_every=ce),
             dict(x0=x0, f=fls, g=g)),
-        "FastForwardBackward": (pa.FastForwardBackward(tol=1e-6),
+        "FastForwardBackward": (pa.FastForwardBackward(tol=1e-6,
+                                                       check_every=ce),
                                 dict(x0=x0, f=fls, g=g)),
-        "ZeroFPR": (pa.ZeroFPR(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
-        "PANOC": (pa.PANOC(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
-        "PANOCplus": (pa.PANOCplus(tol=1e-6), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "ZeroFPR": (pa.ZeroFPR(tol=1e-6, check_every=ce), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "PANOC": (pa.PANOC(tol=1e-6, check_every=ce), dict(x0=x0, f=fsd, A=Aj, g=g)),
+        "PANOCplus": (pa.PANOCplus(tol=1e-6, check_every=ce), dict(x0=x0, f=fsd, A=Aj, g=g)),
         "DouglasRachford": (
-            pa.DouglasRachford(tol=1e-6, maxit=MAXIT["DouglasRachford"]),
+            pa.DouglasRachford(tol=1e-6, maxit=MAXIT["DouglasRachford"],
+                               check_every=ce),
             dict(x0=x0, f=fls, g=g, gamma=1.0)),
-        "DRLS": (pa.DRLS(tol=1e-6), dict(x0=x0, f=fls, g=g, Lf=opn2)),
-        "AFBA-1": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6),
+        "DRLS": (pa.DRLS(tol=1e-6, check_every=ce), dict(x0=x0, f=fls, g=g, Lf=opn2)),
+        "AFBA-1": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6, check_every=ce),
                    dict(x0=x0, y0=jnp.zeros(n, dtype), f=fls, g=g,
                         beta_f=opn2)),
-        "AFBA-2": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6),
+        "AFBA-2": (pa.AFBA(theta=1.0, mu=1.0, tol=1e-6, check_every=ce),
                    dict(x0=x0, y0=jnp.zeros(m, dtype),
                         h=Translate(SqrNormL2(1.0), -bj), L=Aj, g=g)),
-        "SFISTA": (pa.SFISTA(tol=1e-3), dict(x0=x0, f=fls, g=g, Lf=opn2)),
+        "SFISTA": (pa.SFISTA(tol=1e-3, check_every=ce), dict(x0=x0, f=fls, g=g, Lf=opn2)),
     }
 
 
-def run_matrix(dtype, repeat=5, platform=None, workloads="all", quiet=False):
+def run_matrix(dtype, repeat=5, platform=None, workloads="all", quiet=False,
+               check_every=1):
     """Run the (workload x solver) matrix; returns the list of result rows
     (and prints each as a JSON line unless ``quiet``).  Shared by the CLI
     below and the CI regression judge (``benchmarks/regression_check.py``)."""
@@ -124,7 +135,7 @@ def run_matrix(dtype, repeat=5, platform=None, workloads="all", quiet=False):
         if workloads != "all" and wname not in workloads:
             continue
         A, b, lam = load_workload(fname)
-        configs = solver_configs(A, b, lam, dtype)
+        configs = solver_configs(A, b, lam, dtype, check_every=check_every)
         for sname, (solver, kwargs) in configs.items():
             sol, it = solver(**kwargs)  # compile + warm
             _ = np.asarray(jax.tree.leaves(sol)[0])
@@ -143,6 +154,7 @@ def run_matrix(dtype, repeat=5, platform=None, workloads="all", quiet=False):
                 "converged": int(it) < solver.maxit,
                 "platform": platform,
                 "dtype": str(dtype),
+                "check_every": check_every,
             }
             results.append(rec)
             if not quiet:
@@ -155,12 +167,16 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--workloads", default="all")
+    ap.add_argument("--check-every", type=int, default=1,
+                    help="K steps per while-loop trip (exact masked "
+                    "freezing; amortizes the per-trip quantum on "
+                    "trip-bound single solves)")
     ap.add_argument("--platform", default=None,
                     help="cpu|tpu (the JAX_PLATFORMS env var is overridden "
                     "by the axon plugin; this sets jax.config instead)")
     args = ap.parse_args()
     return run_matrix(args.dtype, repeat=args.repeat, platform=args.platform,
-                      workloads=args.workloads)
+                      workloads=args.workloads, check_every=args.check_every)
 
 
 if __name__ == "__main__":

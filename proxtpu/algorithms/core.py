@@ -49,10 +49,12 @@ def _default_display(k, iteration, state):
 
 @partial(
     jax.jit,
-    static_argnames=("stop", "solution", "verbose", "freq", "display"),
+    static_argnames=(
+        "stop", "solution", "verbose", "freq", "display", "check_every",
+    ),
 )
 def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
-             initial_state=None, k0=1):
+             initial_state=None, k0=1, check_every=1):
     """Run an iteration to convergence; returns (solution, iteration_count).
 
     Matches the reference loop semantics: the initial state counts as
@@ -67,28 +69,70 @@ def run_loop(iteration, maxit, tol, stop, solution, verbose, freq, display,
     returned): the counter continues from there, so ``maxit`` bounds the
     *overall* solve and the returned count is the total across segments —
     not per-segment.
+
+    ``check_every=K`` runs K steps per ``while_loop`` trip, amortizing the
+    fixed per-trip pipeline cost (~280 µs on the axon tunnel — iteration-
+    bound single solves are trip-bound there, BASELINE.md).  Blocking is
+    semantically EXACT: each inner step is masked on a ``done`` flag, so
+    iteration counts and solutions equal ``check_every=1``'s — at the price
+    of one extra ``stop`` evaluation and pytree select per inner step (both
+    on-device, far below the trip quantum).  At most ``K - 1`` masked no-op
+    steps run after convergence.  As with the flat machines, TPU-side
+    recompilation can flip knife-edge accepts (counts ±1, last-ULP
+    solution drift); CPU is bit-identical (pinned in tests).
     """
     state = iteration.init() if initial_state is None else initial_state
+    k_init = jnp.asarray(k0, jnp.int32)
 
-    def cond(carry):
-        k, s = carry
-        return (k < maxit) & jnp.logical_not(stop(iteration, tol, s))
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
 
-    def body(carry):
-        k, s = carry
-        s = iteration.step(s)
-        k = k + 1
-        if verbose:
-            jax.lax.cond(
-                k % freq == 0,
-                lambda: display(k, iteration, s),
-                lambda: None,
+    if check_every == 1:
+
+        def cond(carry):
+            k, s = carry
+            return (k < maxit) & jnp.logical_not(stop(iteration, tol, s))
+
+        def body(carry):
+            k, s = carry
+            s = iteration.step(s)
+            k = k + 1
+            if verbose:
+                jax.lax.cond(
+                    k % freq == 0,
+                    lambda: display(k, iteration, s),
+                    lambda: None,
+                )
+            return (k, s)
+
+        k, state = jax.lax.while_loop(cond, body, (k_init, state))
+    else:
+        done0 = (k_init >= maxit) | stop(iteration, tol, state)
+
+        def inner(_, carry):
+            k, s, done = carry
+            ran = jnp.logical_not(done)
+            s_new = iteration.step(s)
+            s = jax.tree.map(
+                lambda old, new: jnp.where(done, old, new), s, s_new
             )
-        return (k, s)
+            k = jnp.where(done, k, k + 1)
+            done = done | (k >= maxit) | stop(iteration, tol, s)
+            if verbose:
+                # same cadence as K=1: a step that actually ran displays
+                # at k % freq == 0, even if it just converged
+                jax.lax.cond(
+                    ran & (k % freq == 0),
+                    lambda: display(k, iteration, s),
+                    lambda: None,
+                )
+            return (k, s, done)
 
-    k, state = jax.lax.while_loop(
-        cond, body, (jnp.asarray(k0, jnp.int32), state)
-    )
+        k, state, _ = jax.lax.while_loop(
+            lambda c: jnp.logical_not(c[2]),
+            lambda c: jax.lax.fori_loop(0, check_every, inner, c),
+            (k_init, state, done0),
+        )
     if verbose:
         display(k, iteration, state)
     return solution(iteration, state), k
@@ -263,6 +307,7 @@ class IterativeAlgorithm:
         verbose=False,
         freq=100,
         display=None,
+        check_every=1,
         **kwargs,
     ):
         self.iteration_factory = iteration_factory
@@ -273,6 +318,10 @@ class IterativeAlgorithm:
         self.verbose = verbose
         self.freq = freq
         self.display = display or _default_display
+        # K steps per while-loop trip, exactly lane-frozen (see run_loop):
+        # amortizes the per-trip quantum on trip-bound platforms without
+        # changing counts or solutions
+        self.check_every = check_every
         self.kwargs = kwargs
 
     def make_iteration(self, **kwargs):
@@ -299,6 +348,7 @@ class IterativeAlgorithm:
             self.display,
             initial_state=resume_from,
             k0=1 if resume_iters is None else resume_iters,
+            check_every=self.check_every,
         )
 
     def run_recorded(self, record, record_every=1, resume_from=None,

@@ -125,11 +125,15 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     ``stop=None`` (the common case) keeps the jit cache key stable across
     calls; the default criterion is resolved inside the traced function.
 
-    ``check_every=K`` runs K steps per while-loop trip and samples the
-    stopping criterion (and freezes converged lanes) only at trip
-    boundaries — amortizing the fixed per-trip cost exactly like the
-    kernels' iteration blocking.  K=1 (default) reproduces the exact
-    per-iteration semantics.
+    ``check_every=K`` runs K steps per while-loop trip — amortizing the
+    fixed per-trip cost exactly like the kernels' iteration blocking.
+    Blocking is semantically EXACT (round 4; it used to freeze lanes only
+    at block boundaries): every inner step masks its update on the
+    per-lane ``done`` flags, the way the flat line-search machines do, so
+    per-lane counts and solutions equal K=1's at any K.  The price is one
+    ``vstop`` evaluation and pytree select per inner step, both on-device
+    and far below the trip quantum (ablation in BASELINE.md: exact
+    blocking keeps the measured check_every win).
     """
     if stop is None:
         stop = lambda it, tol, s: it.default_stopping_criterion(tol, s)
@@ -156,19 +160,29 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
             & jnp.logical_not(jnp.all(done))
         )
 
-    def body(carry):
+    def one_step(carry):
         k, s, done, iters = carry
-        if K == 1:
-            s_new = vstep(iteration, s)
-        else:
-            s_new = jax.lax.fori_loop(
-                0, K, lambda _, t: vstep(iteration, t), s
-            )
-        s = _freeze(done, s, s_new)
-        k = k + K
+        # scalar maxit gate: matches K=1's while-cond exactly, so a block
+        # that straddles maxit cannot step (or count) past it
+        hit_max = k >= maxit
+        frozen = done | hit_max
+        s = _freeze(frozen, s, vstep(iteration, s))
+        k = jnp.where(hit_max, k, k + 1)
         newly_done = vstop(iteration, s)
-        iters = jnp.where(done, iters, k)
+        iters = jnp.where(frozen, iters, k)
         done = done | newly_done
+        return (k, s, done, iters)
+
+    def body(carry):
+        if K == 1:
+            k, s, done, iters = one_step(carry)
+        else:
+            # exact masked K-block: every inner step freezes done lanes,
+            # so counts/solutions equal K=1's (the flat machines'
+            # frozen-lane contract, extended to the generic driver)
+            k, s, done, iters = jax.lax.fori_loop(
+                0, K, lambda _, c: one_step(c), carry
+            )
         if verbose:
             # batched analogue of the reference's per-freq display rows
             # (``ProximalAlgorithms.jl:118-121``): progress is the number
@@ -204,11 +218,11 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     ``iters[i]`` is the iteration count at which lane ``i`` converged
     (``maxit`` cap applies), matching the single-problem driver's count.
 
-    ``check_every=K`` samples convergence every K iterations instead of
-    every iteration, amortizing the fixed per-loop-trip cost (the same
-    iteration-blocking trade the fused kernels make): per-lane counts
-    become upper bounds rounded up to block boundaries, and solutions are
-    at least as converged.  K=1 (default) is exact.
+    ``check_every=K`` runs K steps per while-loop trip, amortizing the
+    fixed per-loop-trip cost (the same iteration-blocking trade the fused
+    kernels make).  Blocking is EXACT at any K (round 4): every inner step
+    is masked on the per-lane ``done`` flags, so counts and solutions
+    equal K=1's (see :func:`_chunk_loop`).
     """
     stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
     solution_ = solution or (lambda it, s: it.default_solution(s))
@@ -586,16 +600,18 @@ class BatchedAlgorithm:
         self.stop = stop
         self.solution = solution
         self.use_kernels = use_kernels
-        # convergence-sampling block for the generic driver: the fixed
-        # per-trip cost (op sequencing + convergence reduction + freeze)
-        # rivals the step itself, so K>1 amortizes it (measured 2x at the
-        # flagship shape, 659 -> 1287 p/s).  Counts become upper bounds
-        # rounded to block boundaries; the kernel fast paths ignore it
-        # (they have their own iter_block policy).  None = auto: exact K=1
-        # on the generic driver (counts there change with K), K=8 on the
-        # flat adaptive machine (semantically exact — bit-identical on
-        # CPU, +-1 knife-edge count drift possible on TPU — and measured
-        # +68%; pass check_every=1 for strict TPU count parity).
+        # iteration block for the generic driver: the fixed per-trip cost
+        # (op sequencing + convergence reduction + freeze) rivals the step
+        # itself, so K>1 amortizes it (measured 2x at the flagship shape,
+        # 659 -> 1287 p/s approximate-mode; the round-4 EXACT masked block
+        # keeps the win — ablation in BASELINE.md).  Blocking no longer
+        # changes per-lane counts anywhere: the generic driver masks every
+        # inner step on done (like the flat machines); the kernel fast
+        # paths ignore it (they have their own iter_block policy).  None =
+        # auto: K=8 on both the generic driver (now that blocking is
+        # exact) and the flat adaptive machine (measured +68%); +-1
+        # knife-edge count drift possible on TPU from recompilation —
+        # pass check_every=1 for strict TPU count parity.
         self.check_every = check_every
         # batched analogue of the reference's verbose/freq contract: a
         # per-freq progress row (converged-lane count) from the generic
@@ -680,10 +696,13 @@ class BatchedAlgorithm:
         # search to acceptance and cannot honor a truncated search).
         self._inject_backtrack_limit(merged)
         iteration = self.iteration_factory(**merged)
-        # batched_run_loop broadcasts rank-0 hyperparameters itself
+        # batched_run_loop broadcasts rank-0 hyperparameters itself.
+        # auto check_every = 8 (round 4): the masked K-block is exact, so
+        # blocking the generic driver is free semantically and ~2x
+        # measured at the flagship shape (671 -> 1325 p/s, driver_gap.py)
         return batched_run_loop(
             iteration, self.maxit, self.tol, stop=self.stop,
-            solution=self.solution, check_every=self.check_every or 1,
+            solution=self.solution, check_every=self.check_every or 8,
             verbose=self.verbose, freq=self.freq,
         )
 

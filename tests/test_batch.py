@@ -80,17 +80,30 @@ def test_batched_maxit_cap():
 
 
 def test_check_every_blocking():
-    """check_every=K: same fixed points, upper-bound counts at block
-    boundaries, never reported converged early."""
+    """check_every=K is EXACT on the generic driver (round 4): every inner
+    step is masked on the per-lane done flags, so counts, solutions and
+    done flags are bit-identical to K=1 on CPU."""
     problems = [random_lasso(k) for k in range(6)]
     iteration = batch_problems(make_fast_forward_backward_iteration, problems)
     xs1, i1, d1 = batched_run_loop(iteration, 3000, TOL)
-    xs4, i4, d4 = batched_run_loop(iteration, 3000, TOL, check_every=4)
-    assert bool(jnp.all(d1)) and bool(jnp.all(d4))
-    np.testing.assert_allclose(np.asarray(xs4), np.asarray(xs1), atol=1e-5)
-    assert np.all(np.asarray(i4) >= np.asarray(i1) - 1)
-    # counts land on block boundaries (init step is iteration 1)
-    assert np.all((np.asarray(i4) - 1) % 4 == 0)
+    for K in (4, 8):
+        xsk, ik, dk = batched_run_loop(iteration, 3000, TOL, check_every=K)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ik))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(dk))
+        np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xsk))
+
+
+def test_check_every_exact_at_maxit_cap():
+    """A K-block straddling maxit must not step or count past it: capped
+    lanes report iters == maxit and the same iterate as K=1."""
+    problems = [random_lasso(k) for k in range(4)]
+    iteration = batch_problems(make_fast_forward_backward_iteration, problems)
+    # maxit=10 caps every lane; 10 is not a multiple of K=4
+    xs1, i1, d1 = batched_run_loop(iteration, 10, TOL)
+    xs4, i4, d4 = batched_run_loop(iteration, 10, TOL, check_every=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d4))
+    np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xs4))
 
 
 @pytest.mark.parametrize("maxit,chunk", [(2000, 100), (50, 20)])
@@ -110,9 +123,8 @@ def test_compacting_run_matches_plain(maxit, chunk):
 
 
 def test_batched_algorithm_check_every():
-    """check_every=K on BatchedAlgorithm blocks the generic driver's
-    convergence sampling: same solutions, counts rounded up to block
-    boundaries (never early)."""
+    """check_every=K on BatchedAlgorithm threads into the generic driver's
+    exact masked K-block: identical counts and solutions to K=1."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -140,21 +152,10 @@ def test_batched_algorithm_check_every():
     xs1, it1, d1 = one(**kw)
     xs8, it8, d8 = blk(**kw)
     assert bool(jnp.all(d1)) and bool(jnp.all(d8))
-    # counts are upper bounds but NOT within K of the per-step counts:
-    # FISTA's residual is non-monotone, so a lane that dips under tol
-    # between sample points keeps iterating until a SAMPLED residual is
-    # under tol (same semantics as solve_lasso_batch_blocked)
-    assert np.all(np.asarray(it8) >= np.asarray(it1))
-    # both runs satisfy the stopping contract; the extra blocked
-    # iterations move the iterate within the tol-ball, so compare each
-    # against the criterion rather than against each other
-    for i in range(Bn):
-        x = np.asarray(xs8[i], np.float64)
-        Ai = np.asarray(A[i], np.float64)
-        gi = 1.0 / float(Lf[i])
-        y = x - gi * (Ai.T @ (Ai @ x - np.asarray(b[i], np.float64)))
-        z = np.sign(y) * np.maximum(np.abs(y) - gi * float(lam[i]), 0)
-        assert np.max(np.abs(x - z)) / gi <= 1.1e-5
+    # round 4: the masked K-block is exact — counts and solutions match
+    # the per-step driver bit-for-bit on CPU
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it8))
+    np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xs8))
 
 
 def test_auto_shared_only_with_x0_batch_inference():

@@ -192,3 +192,39 @@ def test_chambolle_pock_identity_params_guarded():
     with pytest.raises(ValueError, match="Vu-Condat"):
         pa.VuCondat(tol=1e-4, maxit=10)(theta=1.0, f=SqrNormL2(lam),
                                         beta_f=lam, **kw)
+
+
+@pytest.mark.parametrize("K", [2, 8])
+def test_check_every_exact_single_driver(K):
+    """check_every=K on the single-problem driver is EXACT: masked inner
+    steps freeze the state at convergence, so counts and solutions are
+    bit-identical to K=1 on CPU (run_loop's blocked path; the analogue of
+    the flat machines' frozen-lane contract)."""
+    A, b, fA, _, g, Lf, x_star, x0 = setup(np.float64)
+    for make, kw in [
+        (pa.FastForwardBackward, dict(x0=x0, f=fA, g=g, Lf=Lf)),
+        (pa.ForwardBackward, dict(x0=x0, f=fA, g=g, Lf=Lf)),
+        (pa.DouglasRachford, dict(x0=x0, f=fA, g=g, gamma=1.0)),
+        (pa.PANOC, dict(x0=x0, f=pa.AutoDifferentiable(
+            lambda x: 0.5 * jnp.real(jnp.vdot(A @ x - b, A @ x - b))),
+            g=g)),
+    ]:
+        x1, it1 = make(tol=1e-6)(**kw)
+        xk, itk = make(tol=1e-6, check_every=K)(**kw)
+        assert it1 == itk
+        assert bool(jnp.all(x1 == xk))
+
+
+def test_check_every_verbose_cadence(capfd):
+    """Blocked driver keeps the K=1 display cadence (rows at k % freq == 0
+    for steps that actually ran)."""
+    import jax
+
+    A, b, fA, _, g, Lf, x_star, x0 = setup(np.float64)
+    _x, _it = pa.FastForwardBackward(tol=1e-6, verbose=True, freq=50,
+                                     check_every=8)(x0=x0, f=fA, g=g, Lf=Lf)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    rows = [ln for ln in out.splitlines() if ln.strip()]
+    # 142-iteration solve at freq=50: rows at 50, 100 + the final row
+    assert len(rows) == 3

@@ -40,7 +40,7 @@ def gen_problems(batch, m, n, dtype=np.float32, seed=0):
 
 
 def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
-                        path="generic"):
+                        path="generic", tp=2):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -52,7 +52,18 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
         sharded_solve_lasso_multirhs,
     )
 
-    mesh = Mesh(np.asarray(jax.devices()[:d]), ("dp",))
+    if path == "shared_tp":
+        # 2-axis mesh: lanes over dp, the ONE design matrix row-sharded
+        # over tp (the huge-matrix regularization-path composition)
+        tp = min(tp, d)
+        if d % tp:
+            raise ValueError(f"device count {d} not divisible by tp={tp}")
+        mesh = Mesh(
+            np.asarray(jax.devices()[:d]).reshape(d // tp, tp),
+            ("dp", "tp"),
+        )
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:d]), ("dp",))
     B = batch_per_device * d
     As, bs, lams, Lfs = gen_problems(B, m, n)
 
@@ -103,6 +114,25 @@ def run_at_device_count(d, batch_per_device, m, n, tol, maxit, repeat,
             x0=shard(np.zeros((B, n), As.dtype), P("dp", None)),
             f=Shared(LeastSquaresLoss(A1, jnp.asarray(bs[0]))),
             g=NormL1(lam), Lf=Lf1,
+        )
+
+        def run():
+            return batched_run_loop(iteration, maxit, tol, check_every=8)
+    elif path == "shared_tp":
+        # dp x tp composed (round 4): one A row-sharded over tp serving a
+        # dp-sharded lam-path batch; GSPMD emits local matmuls + psum over
+        # tp (parity pinned in tests/test_sharding.py and the dryrun)
+        from proxtpu.algorithms import make_fast_forward_backward_iteration
+        from proxtpu.parallel import Shared, batched_run_loop
+        from proxtpu.prox import LeastSquaresLoss, NormL1
+
+        A1 = shard(As[0], P("tp", None))
+        b1 = shard(bs[0], P("tp"))
+        Lf1 = float(np.linalg.norm(As[0], 2) ** 2)
+        iteration = make_fast_forward_backward_iteration(
+            x0=shard(np.zeros((B, n), As.dtype), P("dp", None)),
+            f=Shared(LeastSquaresLoss(A1, b1)),
+            g=NormL1(shard(lams, P("dp"))), Lf=Lf1,
         )
 
         def run():
@@ -167,14 +197,19 @@ def main():
     ap.add_argument(
         "--path", default="generic",
         choices=["generic", "kernel", "blocked", "multirhs", "shared",
-                 "flat_zerofpr"],
+                 "shared_tp", "flat_zerofpr"],
         help="solver formulation: generic pure-XLA batched step, fused "
              "one-step kernel, K-blocked VMEM-resident kernel, the "
              "shared-A MXU multirhs solve (all dp-sharded via shard_map), "
              "the generic driver with a Shared operand under plain "
-             "GSPMD (lanes dp-sharded, operand replicated), or the flat "
-             "ZeroFPR trial/commit machine under GSPMD dp",
+             "GSPMD (lanes dp-sharded, operand replicated), the dp x tp "
+             "composition (Shared operand row-sharded over tp, lanes over "
+             "dp; use --tp for the tp extent), or the flat ZeroFPR "
+             "trial/commit machine under GSPMD dp",
     )
+    ap.add_argument("--tp", type=int, default=2,
+                    help="tp-axis extent for --path shared_tp (device "
+                    "count must be divisible by it)")
     args = ap.parse_args()
 
     if args.platform == "cpu" and "XLA_FLAGS" not in os.environ:
@@ -196,7 +231,7 @@ def main():
             continue
         rec = run_at_device_count(
             d, args.batch_per_device, args.m, args.n, args.tol, args.maxit,
-            args.repeat, path=args.path,
+            args.repeat, path=args.path, tp=args.tp,
         )
         if base is None:
             base = rec["problems_per_sec"] / rec["devices"]

@@ -46,6 +46,7 @@ from .sharded_ops import (
     shard_batch,
     shard_matrix_operator,
 )
+from .warm import WarmStartedBatchedAlgorithm, cast_problem
 from .sharded_kernels import (
     default_dp_mesh,
     sharded_solve_box_qp_batch,
@@ -57,6 +58,8 @@ from .sharded_kernels import (
 
 __all__ = [
     "BatchedAlgorithm",
+    "WarmStartedBatchedAlgorithm",
+    "cast_problem",
     "Shared",
     "batch_axes",
     "unwrap_shared",

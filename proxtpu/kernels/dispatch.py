@@ -609,7 +609,12 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         if Lfv is None:
             return None
 
-        from .lasso import solve_lasso_batch, solve_lasso_batch_blocked
+        from .lasso import (
+            _pack_count,
+            solve_lasso_batch,
+            solve_lasso_batch_blocked,
+            solve_lasso_batch_packed,
+        )
 
         # measured regimes (v5e, benchmarks/results_kernel_sweep.jsonl):
         # tiny per-lane A (<~128 KB) -> XLA's batched einsum rides the MXU
@@ -620,6 +625,13 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         lane_bytes = int(A.shape[1]) * int(A.shape[2]) * A.dtype.itemsize
         dma_bound = lane_bytes >= (1 << 20)
         mxu_small = lane_bytes < (1 << 17)
+        # zero-lane-padding packed layout (round 4): N not a 128-multiple
+        # wastes N/ceil128(N) of the A stream — pack 128/gcd(N,128)
+        # problems per kernel row when the packed row fits the VMEM budget
+        # (measured 1.22x at the flagship 256x200x400; the packed solver
+        # has no mf route)
+        pack = _pack_count(int(A.shape[2]), int(A.shape[0]))
+        packable = pack > 1 and pack * lane_bytes <= (4 << 20)
 
         if np.shape(x0) != (A.shape[0], A.shape[2]):
             return None
@@ -632,6 +644,12 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                 z, it, done = solve_lasso_batch_blocked(
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
                     restart=restart, x0=x0_pass,
+                )
+            elif (on_tpu and interpret is not True and not mxu_small
+                    and packable and mf is None):
+                z, it, done = solve_lasso_batch_packed(
+                    A, b, lam, Lfv, tol, maxit=maxit, restart=restart,
+                    x0=x0_pass,
                 )
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(

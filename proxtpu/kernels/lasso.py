@@ -921,3 +921,347 @@ def solve_lasso_batch_mixed(
     )
     iters = jnp.minimum(iters, maxit + warm_maxit)
     return z, iters, done
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed kernels: zero-padding A stream (round 4, VERDICT r3 task 3)
+# ---------------------------------------------------------------------------
+
+def _pack_count(N, B):
+    """Problems per packed row: the smallest p with N*p a multiple of 128
+    (p = 128/gcd(N, 128)); 1 (no packing possible/needed) when N is already
+    lane-aligned, N < 128 (no aligned main region to slice), or p does not
+    divide B."""
+    import math
+
+    p = 128 // math.gcd(N, 128)
+    if p == 1 or B % p != 0 or N < 128:
+        return 1
+    return p
+
+
+def _pack_cols(v, pack, nfull):
+    """(Bp, pack, M, N) -> (Bp, M, W): problem i's first ``nfull`` columns
+    become the 128-aligned slice [nfull*i, nfull*(i+1)); the remainders are
+    collected into the shared trailing leftover region (problem i at
+    [W_main + rem*i, W_main + rem*(i+1)))."""
+    Bp, pack_, M, N = v.shape
+    main = v[..., :nfull].transpose(0, 2, 1, 3).reshape(Bp, M, pack * nfull)
+    if N == nfull:
+        return main
+    left = v[..., nfull:].transpose(0, 2, 1, 3).reshape(
+        Bp, M, pack * (N - nfull))
+    return jnp.concatenate([main, left], axis=2)
+
+
+def pack_lasso_batch(A, b, pack):
+    """Tile-aligned interleaved packing: (B,M,N) -> (B/pack, M, pack*N)
+    with ZERO lane padding (pack*N is a 128-multiple by construction) and
+    every per-problem main slice 128-aligned.  One-time XLA transpose."""
+    B, M, N = A.shape
+    Bp = B // pack
+    nfull = (N // 128) * 128
+    Ap = _pack_cols(A.reshape(Bp, pack, M, N), pack, nfull)
+    bp = b.reshape(Bp, pack, M).transpose(0, 2, 1)
+    return Ap, bp
+
+
+def _pack_rows(x, pack, nfull):
+    """(B, N) iterate rows -> (Bp, W) packed rows (same column order as
+    :func:`_pack_cols`)."""
+    B, N = x.shape
+    Bp = B // pack
+    x4 = x.reshape(Bp, pack, 1, N)
+    return _pack_cols(x4, pack, nfull).reshape(Bp, pack * N)
+
+
+def _unpack_rows(xp, pack, N):
+    """Inverse of :func:`_pack_rows`: (Bp, W) -> (B, N)."""
+    Bp, W = xp.shape
+    nfull = (N // 128) * 128
+    rem = N - nfull
+    main = xp[:, :pack * nfull].reshape(Bp, 1, pack, nfull).transpose(
+        0, 2, 1, 3)
+    if rem == 0:
+        return main.reshape(Bp * pack, N)
+    left = xp[:, pack * nfull:].reshape(Bp, 1, pack, rem).transpose(
+        0, 2, 1, 3)
+    return jnp.concatenate([main, left], axis=3).reshape(Bp * pack, N)
+
+
+def _fista_packed_step_kernel(N, pack, restart=False):
+    """One full FISTA iteration for ``pack`` problems packed into one
+    (M, pack*N) row — the zero-lane-padding layout.
+
+    At the flagship 256x200x400 shape the natural (M, N) tile pads N=400
+    to 512 HBM/VMEM lanes, so ~22% of the A stream — which IS the
+    per-iteration cost (BASELINE.md round-3 pure-read ablation) — is dead
+    bytes.  Packing p = 128/gcd(N,128) problems per row makes the width
+    W = p*N an exact lane multiple: the HBM array carries ZERO padding.
+
+    Layout (the key to keeping the bookkeeping off the MXU: a first
+    attempt that segmented contiguous per-problem regions via 0/1
+    indicator matmuls lost 2x — (M,W)x(W,p) at HIGHEST precision pads the
+    p outputs to 128 MXU columns and runs 6 bf16 passes, ~160 us/iter
+    each at the flagship shape — measured, kept in the round log):
+
+    * problem i's first ``nfull = (N//128)*128`` columns sit at the
+      128-ALIGNED slice [nfull*i, nfull*(i+1)) — per-problem math is
+      plain aligned lane-slicing, exactly the per-lane body of
+      :func:`_fista_full_step_kernel`, no relayouts;
+    * the ``rem = N - nfull`` leftover columns of all p problems share
+      the trailing ``p*rem``-wide region (a 128-multiple by
+      construction) and are processed COLLECTIVELY: per-problem
+      reductions/broadcasts run as p statically-unrolled mask
+      accumulates on (M, p*rem) or (1, p*rem), and all ref writes cover
+      whole aligned regions.  At the flagship shape the leftover region
+      is ONE 128-lane tile, so the masked work is ~3% of the main
+      elementwise stream.
+
+    Math, freezing, restart and stopping semantics are identical to
+    :func:`_fista_full_step_kernel`; within each problem the lane
+    reduction splits into main + leftover parts (different summation
+    order), so solutions agree to f32 reduction noise and counts can
+    knife-edge by +-1 — the same equivalence class as XLA-vs-kernel.
+    """
+    nfull = (N // 128) * 128
+    rem = N - nfull
+    Wm = pack * nfull  # main width; leftover region is [Wm, Wm + pack*rem)
+
+    def kern(A_ref, b_ref, x_ref, zp_ref, beta_ref, gamma_ref,
+             thr_ref, done_ref, xo_ref, zo_ref, res_ref, rs_ref):
+        dtype = x_ref.dtype
+
+        if rem:
+            Al = A_ref[0, :, Wm:]     # (M, p*rem) aligned slice
+            xl = x_ref[0, :, Wm:]     # (1, p*rem)
+            zpl = zp_ref[0, :, Wm:]
+            Pl = Al * xl              # (M, p*rem)
+            lseg = jax.lax.broadcasted_iota(
+                jnp.int32, (1, pack * rem), 1) // rem
+            lmasks = [(lseg == i).astype(dtype) for i in range(pack)]
+            Rfl = jnp.zeros(Al.shape, dtype)
+
+        # pass 1: per-problem FB step on the aligned main slices; the
+        # leftover broadcast-back accumulates across problems
+        zis, ris = [], []
+        for i in range(pack):
+            sl = slice(nfull * i, nfull * (i + 1))
+            Ai = A_ref[0, :, sl]      # (M, nfull) aligned
+            xi = x_ref[0, :, sl]      # (1, nfull)
+            gamma = gamma_ref[0, i, 0]
+            thr = thr_ref[0, i, 0]
+
+            ri = jnp.sum(Ai * xi, axis=1, keepdims=True)      # (M, 1)
+            if rem:
+                ri = ri + jnp.sum(Pl * lmasks[i], axis=1, keepdims=True)
+            ri = ri - b_ref[0, :, i:i + 1]
+            gi = jnp.sum(Ai * ri, axis=0, keepdims=True)      # (1, nfull)
+            yi = xi - gamma * gi
+            zis.append(jnp.sign(yi) * jnp.maximum(jnp.abs(yi) - thr, 0.0))
+            ris.append(ri)
+            if rem:
+                Rfl = Rfl + ri * lmasks[i]
+
+        # leftover region: one collective prox step for all p problems
+        if rem:
+            gl = jnp.sum(Al * Rfl, axis=0, keepdims=True)     # (1, p*rem)
+            gamma_lrow = jnp.zeros((1, pack * rem), dtype)
+            thr_lrow = jnp.zeros((1, pack * rem), dtype)
+            for i in range(pack):
+                gamma_lrow = gamma_lrow + gamma_ref[0, i, 0] * lmasks[i]
+                thr_lrow = thr_lrow + thr_ref[0, i, 0] * lmasks[i]
+            yl = xl - gamma_lrow * gl
+            zl = jnp.sign(yl) * jnp.maximum(jnp.abs(yl) - thr_lrow, 0.0)
+            ml = jnp.abs(xl - zl)
+            prodl = (xl - zl) * (zl - zpl)
+            beta_lrow = jnp.zeros((1, pack * rem), dtype)
+            dm_lrow = jnp.zeros((1, pack * rem), dtype)
+
+        # pass 2: stopping/restart reductions over BOTH parts, then the
+        # extrapolation + freeze writes (main slices aligned; the leftover
+        # region written once, below)
+        res_cols, rs_cols = [], []
+        for i in range(pack):
+            sl = slice(nfull * i, nfull * (i + 1))
+            xi = x_ref[0, :, sl]
+            zpi = zp_ref[0, :, sl]
+            zi = zis[i]
+            dm = done_ref[0, i, 0]
+            beta = beta_ref[0, i, 0]
+
+            res_i = jnp.max(jnp.abs(xi - zi))
+            rs_i = jnp.sum((xi - zi) * (zi - zpi))
+            if rem:
+                res_i = jnp.maximum(res_i, jnp.max(ml * lmasks[i]))
+                rs_i = rs_i + jnp.sum(prodl * lmasks[i])
+            if restart:
+                beta = jnp.where(rs_i > 0, jnp.zeros_like(beta), beta)
+            xi_new = zi + beta * (zi - zpi)
+            xo_ref[0, :, sl] = dm * xi + (1 - dm) * xi_new
+            zo_ref[0, :, sl] = dm * zpi + (1 - dm) * zi
+            res_cols.append(((1 - dm) * res_i).reshape(1, 1))
+            rs_cols.append(((1 - dm) * rs_i).reshape(1, 1))
+            if rem:
+                beta_lrow = beta_lrow + beta * lmasks[i]
+                dm_lrow = dm_lrow + dm * lmasks[i]
+        # Mosaic cannot store scalars to VMEM: emit the per-problem
+        # read-outs as one (pack, 1) column store each
+        res_ref[0] = jnp.concatenate(res_cols, axis=0)
+        rs_ref[0] = jnp.concatenate(rs_cols, axis=0)
+
+        if rem:
+            xl_new = zl + beta_lrow * (zl - zpl)
+            xo_ref[0, :, Wm:] = dm_lrow * xl + (1 - dm_lrow) * xl_new
+            zo_ref[0, :, Wm:] = dm_lrow * zpl + (1 - dm_lrow) * zl
+
+    return kern
+
+
+@partial(jax.jit, static_argnames=("N", "pack", "interpret", "restart"))
+def fused_fista_packed_step(Ap, bp, x, z_prev, beta, gamma, thr,
+                            done_mask, N, pack, interpret=False,
+                            restart=False):
+    """One packed full FISTA iteration (see ``_fista_packed_step_kernel``).
+
+    Packed-layout operands: Ap (Bp, M, W), bp (Bp, M, pack), x/z_prev
+    (Bp, W) carries (aliased in place), per-problem scalars (Bp, pack).
+    Returns (x_new, z_new, res_inf (Bp, pack), restart_sig (Bp, pack)).
+    """
+    Bp, M, W = Ap.shape
+    dtype = x.dtype
+    x3 = x.reshape(Bp, 1, W)
+    zp3 = z_prev.reshape(Bp, 1, W)
+    col = lambda v: v.reshape(Bp, pack, 1).astype(dtype)
+    vspec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    xo, zo, res, rs = pl.pallas_call(
+        _fista_packed_step_kernel(N, pack, restart=restart),
+        grid=(Bp,),
+        in_specs=[
+            vspec((M, W)), vspec((M, pack)), vspec((1, W)), vspec((1, W)),
+            vspec((pack, 1)), vspec((pack, 1)), vspec((pack, 1)),
+            vspec((pack, 1)),
+        ],
+        out_specs=[vspec((1, W)), vspec((1, W)), vspec((pack, 1)),
+                   vspec((pack, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1, W), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, W), dtype),
+            jax.ShapeDtypeStruct((Bp, pack, 1), dtype),
+            jax.ShapeDtypeStruct((Bp, pack, 1), dtype),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * M * W,
+            bytes_accessed=Bp * M * (W + pack) * dtype.itemsize
+            + 5 * Bp * W * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Ap, bp, x3, zp3, col(beta), col(gamma), col(thr), col(done_mask))
+    return (xo.reshape(Bp, W), zo.reshape(Bp, W),
+            res.reshape(Bp, pack), rs.reshape(Bp, pack))
+
+
+def solve_lasso_batch_packed(
+    A, b, lam, Lf, tol, maxit=1000, interpret=False, restart=False,
+    x0=None, pack=None,
+):
+    """Batched FISTA with the zero-lane-padding packed kernel.
+
+    Same stopping rule, freezing and (optional) adaptive-restart semantics
+    as :func:`solve_lasso_batch`; the A stream carries no pad bytes (22%
+    of the per-iteration cost at the flagship 256x200x400 shape, where
+    N=400 pads to 512 lanes in the natural layout).  ``pack`` problems are
+    interleaved per kernel row (default ``128/gcd(N,128)``); requires
+    ``pack`` to divide B.  Iteration counts match :func:`solve_lasso_batch`
+    up to f32 reduction-order knife edges (each problem's lane reduction
+    splits into aligned-main + leftover parts).
+
+    The packing transpose runs EAGERLY (one-time data prep, ~1 ms at the
+    flagship shape), then the jitted solve core takes the packed arrays.
+    Keeping the transpose inside the solve program let XLA's first-compile
+    layout/fusion choices poison every later variant in the process
+    (measured 300 vs 187 us/iter for the SAME fixed-512 program depending
+    on which maxit variant compiled first); eager packing pins the packed
+    buffers' dense layout once.  Consequently this wrapper cannot be
+    called from inside ``jit`` — use :func:`_solve_packed_core` with
+    pre-packed operands there.
+    """
+    B, M, N = A.shape
+    dtype = A.dtype
+    if pack is None:
+        pack = _pack_count(N, B)
+    if pack == 1:
+        return solve_lasso_batch(
+            A, b, lam, Lf, tol, maxit=maxit, use_kernel=True,
+            interpret=interpret, restart=restart, x0=x0,
+        )
+    nfull = (N // 128) * 128
+    Ap, bp = pack_lasso_batch(jnp.asarray(A), jnp.asarray(b), pack)
+    x0 = jnp.zeros((B, N), dtype) if x0 is None else \
+        jnp.asarray(x0, dtype).reshape(B, N)
+    x0p = _pack_rows(x0, pack, nfull)
+    z, iters, done = _solve_packed_core(
+        Ap, bp, jnp.asarray(lam), jnp.asarray(Lf), tol, x0p,
+        N=N, pack=pack, maxit=maxit, interpret=interpret, restart=restart,
+    )
+    return (_unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("N", "pack", "maxit", "interpret", "restart"),
+)
+def _solve_packed_core(
+    Ap, bp, lam, Lf, tol, x0p, *, N, pack, maxit, interpret, restart,
+):
+    """Jitted packed-FISTA core over pre-packed operands (see
+    :func:`solve_lasso_batch_packed`).  Returns packed (z, iters, done)
+    with per-problem arrays shaped (Bp, pack)."""
+    Bp, M, W = Ap.shape
+    B = Bp * pack
+    dtype = Ap.dtype
+    gamma = jnp.broadcast_to((1.0 / jnp.asarray(Lf)).astype(dtype), (B,))
+    thr = jnp.broadcast_to((gamma * jnp.asarray(lam)).astype(dtype), (B,))
+    gamma_p = gamma.reshape(Bp, pack)
+    thr_p = thr.reshape(Bp, pack)
+    zeros_b = jnp.zeros((Bp, pack), dtype)
+    # init FB step = the packed step with beta = 0 (x_new == z); the
+    # restart signal at zp=x0 is -(x-z)^2 <= 0, so no spurious reset
+    z0, _, res0, _ = fused_fista_packed_step(
+        Ap, bp, x0p, x0p, zeros_b, gamma_p, thr_p, zeros_b,
+        N=N, pack=pack, interpret=interpret, restart=restart,
+    )
+    done0 = res0 / gamma_p <= tol
+    t1 = (1 + jnp.sqrt(5.0)) / 2 * jnp.ones((Bp, pack), dtype)
+    init = (jnp.asarray(1, jnp.int32), z0, z0, t1, done0,
+            jnp.ones((Bp, pack), jnp.int32))
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+
+    def body(c):
+        k, x, z_prev, t, done, iters = c
+        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+        beta = (t - 1) / t_new
+        x_new, z, res, rs = fused_fista_packed_step(
+            Ap, bp, x, z_prev, beta, gamma_p, thr_p,
+            done.astype(dtype), N=N, pack=pack, interpret=interpret,
+            restart=restart,
+        )
+        if restart:
+            phi = jnp.asarray((1 + jnp.sqrt(5.0)) / 2, t_new.dtype)
+            t_new = jnp.where(rs > 0, phi, t_new)
+        newly_done = res / gamma_p <= tol
+        k = k + 1
+        iters = jnp.where(done, iters, k)
+        return (k, x_new, z, jnp.where(done, t, t_new),
+                done | newly_done, iters)
+
+    k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(done, iters, k)
+    return z, iters, done

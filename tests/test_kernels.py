@@ -475,3 +475,60 @@ def test_mixed_solver_restart_kernel_matches_xla(data):
     assert bool(jnp.all(d_x)) and bool(jnp.all(d_k))
     assert int(np.max(np.abs(np.asarray(it_x) - np.asarray(it_k)))) <= 1
     assert float(jnp.max(_fb_residual(A, b, lam, Lf, z_k))) <= 1.1 * tol
+
+
+def test_packed_solver_matches_onestep():
+    """Zero-lane-padding packed kernel (round 4): same stopping rule and
+    freezing as solve_lasso_batch; solutions in the same tol-ball,
+    iteration counts equal up to reduction-order knife edges (the
+    segmented contractions accumulate on the MXU instead of a lane tree)."""
+    from proxtpu.kernels.lasso import (
+        _pack_count,
+        solve_lasso_batch_packed,
+    )
+
+    assert _pack_count(400, 256) == 8
+    assert _pack_count(384, 256) == 1   # already lane-aligned
+    assert _pack_count(400, 100) == 1   # pack does not divide B
+    assert _pack_count(48, 8) == 1      # no aligned main region (N < 128)
+
+    rng = np.random.default_rng(3)
+    Bq, Mq, Nq = 8, 16, 160             # pack = 128/gcd(160,128) = 4
+    A = jnp.asarray((rng.standard_normal((Bq, Mq, Nq)) / np.sqrt(Mq))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((Bq, Mq)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(Bq)], jnp.float32)
+    tol = 1e-5
+    for restart in (False, True):
+        z1, i1, d1 = solve_lasso_batch(
+            A, b, lam, Lf, tol, maxit=3000, use_kernel=True,
+            interpret=True, restart=restart)
+        z2, i2, d2 = solve_lasso_batch_packed(
+            A, b, lam, Lf, tol, maxit=3000, interpret=True,
+            restart=restart)
+        assert bool(jnp.all(d1)) and bool(jnp.all(d2))
+        # counts: equal except possibly knife-edge flips on a minority
+        same = np.asarray(i1) == np.asarray(i2)
+        assert same.mean() >= 0.75, (np.asarray(i1), np.asarray(i2))
+        # every packed lane satisfies the criterion at the f32 operator
+        assert float(jnp.max(_fb_residual(A, b, lam, Lf, z2))) <= 1.1 * tol
+        np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
+                                   atol=1e-3)
+
+    # maxit cap + unconverged reporting parity
+    z1, i1, d1 = solve_lasso_batch(A, b, lam, Lf, 1e-12, maxit=40,
+                                   use_kernel=True, interpret=True)
+    z2, i2, d2 = solve_lasso_batch_packed(A, b, lam, Lf, 1e-12, maxit=40,
+                                          interpret=True)
+    assert not bool(jnp.any(d2))
+    assert (np.asarray(i2) == np.asarray(i1)).all()
+
+    # pack=1 falls back to the natural-layout solver exactly
+    z3, i3, d3 = solve_lasso_batch_packed(A, b, lam, Lf, tol, maxit=3000,
+                                          interpret=True, pack=1)
+    z4, i4, d4 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                   use_kernel=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(z3), np.asarray(z4))

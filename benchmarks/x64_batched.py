@@ -108,6 +108,28 @@ def main():
                                   "max_abs_gap_vs_cold": gap,
                                   "tol": tol}), flush=True)
 
+                # warm flat ZeroFPR: f32 stage to the f32 noise floor,
+                # f64 polish from the warm iterate with the SAME flat
+                # machine and stopping rule
+                A32, b32 = A.astype(jnp.float32), b.astype(jnp.float32)
+                lams32 = lams.astype(jnp.float32)
+                gamma32 = gamma.astype(jnp.float32)
+
+                def warm_zerofpr():
+                    xw, it1, _d1 = batched_zerofpr(
+                        Shared(SqrDistance(b32)),
+                        Shared(MatrixOperator(A32)), NormL1(lams32),
+                        jnp.zeros((BATCH, N), jnp.float32), gamma32,
+                        1.2e-5, maxit=5000)
+                    xs, it2, d = batched_zerofpr(
+                        Shared(SqrDistance(b)), Shared(MatrixOperator(A)),
+                        NormL1(lams), xw.astype(dt), gamma, tol,
+                        maxit=5000)
+                    return xs, it1 + it2, d
+
+                timed(f"lasso_warm_f32f64_flat_zerofpr_tol{tol:g}",
+                      warm_zerofpr, reps)
+
     # --- logistic lam-path at tol 1e-6 in f64 (f32 noise floor ~2e-3)
     A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), np.float64)
     b = jnp.asarray(rng.standard_normal(M), np.float64)

@@ -53,3 +53,12 @@ format:
 
 graft-check:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py
+
+bench-packed:
+    python benchmarks/packed_bench.py
+
+bench-families:
+    python benchmarks/families_bench.py
+
+bench-x64:
+    python benchmarks/x64_batched.py

@@ -48,7 +48,7 @@ class LiLinState(NamedTuple):
     q: jnp.ndarray
 
 
-@proxclass
+@proxclass(meta_fields=("theta_restart",))
 class LiLinIteration:
     f: object
     g: object
@@ -56,6 +56,7 @@ class LiLinIteration:
     gamma: object
     delta: object
     eta: object
+    theta_restart: bool = False
 
     def init(self):
         y = self.x0
@@ -73,9 +74,24 @@ class LiLinIteration:
     def step(self, s):
         R = s.gamma.dtype
         Fz = self.f(s.z) + s.g_z
-        theta1 = (1 + jnp.sqrt(1 + 4 * s.theta**2)) / 2
+        monitor_fail = Fz > s.F_average - self.delta * tree_norm_sq(s.res)
+        theta = s.theta
+        if self.theta_restart:
+            # TPU-extra safeguard (round 4, off by default — the reference
+            # has no counterpart): the unbounded theta-recursion keeps the
+            # extrapolation coefficient near 1, and on ~12% of random
+            # indefinite box-QPs the monitored scheme limit-cycles forever
+            # (measured, f64/CPU too; see BASELINE.md).  A monitor failure
+            # is direct evidence the momentum is unhelpful, so reset the
+            # sequence (the Li-Lin analogue of O'Donoghue-Candes restart):
+            # this step's case-1 weight becomes 0 (pure FB from z) and the
+            # recursion restarts from theta=1.  Convergence theory is
+            # unaffected (the monitor still enforces the same sufficient
+            # decrease; theta is free in Li & Lin's Alg 2 analysis).
+            theta = jnp.where(monitor_fail, jnp.ones_like(theta), theta)
+        theta1 = (1 + jnp.sqrt(1 + 4 * theta**2)) / 2
 
-        w1 = (s.theta - 1) / theta1  # case-1 extrapolation weight
+        w1 = (theta - 1) / theta1  # case-1 extrapolation weight
 
         def fast(_):
             y = tree_map(lambda zl, xl: zl + w1 * (zl - xl), s.z, s.x)
@@ -92,7 +108,7 @@ class LiLinIteration:
             Fv = self.f(v) + g_v
             case1 = Fz <= Fv
             y1 = tree_map(lambda zl, xl: zl + w1 * (zl - xl), s.z, s.x)
-            w2 = s.theta / theta1
+            w2 = theta / theta1
             y2 = tree_map(
                 lambda zl, vl, xl: zl + w2 * (zl - vl) + w1 * (vl - xl),
                 s.z, v, s.x,
@@ -102,8 +118,9 @@ class LiLinIteration:
             Fx = jnp.where(case1, Fz, Fv).astype(R)
             return y, x_new, Fx
 
-        monitor_ok = Fz <= s.F_average - self.delta * tree_norm_sq(s.res)
-        y, x_new, Fx = jax.lax.cond(monitor_ok, fast, monitored, None)
+        y, x_new, Fx = jax.lax.cond(
+            jnp.logical_not(monitor_fail), fast, monitored, None
+        )
 
         f_y, grad_f_y = value_and_gradient(self.f, y)
         y_forward = tree_map(lambda yl, gl: yl - s.gamma * gl, y, grad_f_y)
@@ -130,7 +147,8 @@ class LiLinIteration:
 
 
 def make_li_lin_iteration(
-    *, x0, f=Zero(), g=Zero(), Lf=None, gamma=None, delta=1e-3, eta=0.8
+    *, x0, f=Zero(), g=Zero(), Lf=None, gamma=None, delta=1e-3, eta=0.8,
+    theta_restart=False,
 ):
     x0 = astree(x0)
     R = real_dtype(x0)
@@ -151,6 +169,7 @@ def make_li_lin_iteration(
     return LiLinIteration(
         f=f, g=g, x0=x0, gamma=rscalar(gamma, R),
         delta=rscalar(delta, R), eta=rscalar(eta, R),
+        theta_restart=bool(theta_restart),
     )
 
 

@@ -15,6 +15,7 @@ from .lasso import (
     solve_lasso_batch,
     solve_lasso_batch_blocked,
     solve_lasso_batch_compacting,
+    solve_lasso_batch_packed,
     solve_lasso_multirhs,
 )
 from .tv import (
@@ -26,7 +27,7 @@ from .tv import (
 __all__ = [
     "fused_fb_prox_grad", "reference_fb_prox_grad", "solve_lasso_batch",
     "fused_fista_k_steps", "solve_lasso_batch_blocked", "solve_lasso_multirhs",
-    "solve_lasso_batch_compacting",
+    "solve_lasso_batch_compacting", "solve_lasso_batch_packed",
     "fused_pg_box_step", "reference_pg_box_step", "solve_box_qp_batch",
     "fused_pg_box_k_steps", "solve_box_qp_batch_blocked",
     "fused_cp_k_steps", "reference_cp_step", "solve_tv_batch",

@@ -176,7 +176,16 @@ def make_li_lin_iteration(
 def LiLin(*, maxit=10_000, tol=1e-8, stop=None, solution=None, verbose=False,
           freq=100, display=None, **kwargs):
     """Li-Lin nonconvex accelerated proximal-gradient solver
-    (``li_lin.jl:184-202``)."""
+    (``li_lin.jl:184-202``).
+
+    Robustness note (measured, BASELINE.md round 4): on ~12% of random
+    indefinite box-QP instances the monitored scheme limit-cycles and
+    never reaches the tolerance (also in f64; smaller gamma makes it
+    worse).  ``theta_restart=True`` (TPU-extra, off by default) resets
+    the extrapolation sequence on monitor failures and rescues roughly
+    half of those; plain :func:`ForwardBackward` converged on ALL
+    instances of the study family, with better objective values — prefer
+    it when Li-Lin stalls."""
     return IterativeAlgorithm(
         make_li_lin_iteration, maxit=maxit, tol=tol, stop=stop,
         solution=solution, verbose=verbose, freq=freq, display=display,

@@ -79,3 +79,19 @@ def test_random_100d(name, k):
     x, it = run_solver(name, f, g, x0, gamma)
     assert residual_ok(x, Q, q, low, upp, gamma, TOL)
     assert bool(jnp.all(x0 == x0_backup))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_lilin_theta_restart(k):
+    """TPU-extra opt-in safeguard: resetting the extrapolation sequence on
+    a monitor failure keeps every converging instance converging (counts
+    in the same regime) and measurably rescues cycling instances on the
+    chip family study (88% -> 94.5% converged, BASELINE.md round 4).
+    Semantics-only check here: the flag solves the reference instances to
+    the same residual criterion."""
+    Q, q, low, upp, gamma = random_problem(k)
+    f, g = make_problem(Q, q, low, upp)
+    solver = pa.LiLin(tol=TOL)
+    x, it = solver(x0=jnp.zeros(100, jnp.float64), f=f, g=g, gamma=gamma,
+                   theta_restart=True)
+    assert residual_ok(x, Q, q, low, upp, gamma, TOL)

@@ -232,3 +232,22 @@ def test_convergence_curves_example():
     for r in out.values():
         assert r["curve"][-1] <= mod.TOL
         assert len(r["curve"]) == r["it"]
+
+
+def test_reference_tolerances_example():
+    """The precision warm-starting walkthrough: every path point reaches
+    the f64 criterion at tol=1e-8 (recomputed on the host) and the
+    support shrinks monotonically-ish along the decreasing-lam path."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "reference_tolerances.py")
+    spec = importlib.util.spec_from_file_location("rt_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["worst_residual"] <= 1.05e-8
+    nnz = out["nnz"]
+    # lam decreases along the path -> support grows (weakly, modulo ties)
+    assert nnz[-1] >= nnz[0]
+    assert out["xs"].dtype == np.float64

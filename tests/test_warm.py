@@ -96,3 +96,40 @@ def test_warm_started_f32_stage_runs_in_f32():
     f32_kw = cast_problem(dict(f=Shared(LeastSquaresLoss(A, b))),
                           jnp.float32)
     assert f32_kw["f"].A.dtype == jnp.float32
+
+
+def test_warm_started_complex128():
+    """c128 problems warm through a c64 stage: dtype preserved, criterion
+    met, parity with the cold c128 solve (the reference sweeps complex
+    dtypes through its whole suite — warm-starting must not break them)."""
+    rng = np.random.default_rng(5)
+    B, M, N = 4, 12, 16
+    A = jnp.asarray(rng.standard_normal((M, N))
+                    + 1j * rng.standard_normal((M, N)), jnp.complex128)
+    A = A / jnp.sqrt(jnp.asarray(M, jnp.float64))
+    b = jnp.asarray(rng.standard_normal(M) + 1j * rng.standard_normal(M),
+                    jnp.complex128)
+    lams = jnp.asarray(0.05 + 0.1 * rng.random(B), jnp.float64)
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    kw = dict(x0=jnp.zeros((B, N), jnp.complex128),
+              f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    tol = 1e-8
+    warm = WarmStartedBatchedAlgorithm(make_fast_forward_backward_iteration,
+                                       maxit=50000, tol=tol,
+                                       use_kernels=False)
+    cold = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=50000, tol=tol, use_kernels=False)
+    xs_w, it_w, d_w = warm(**kw)
+    xs_c, _, d_c = cold(**kw)
+    assert bool(jnp.all(d_w)) and bool(jnp.all(d_c))
+    assert xs_w.dtype == jnp.complex128
+    A64, b64 = np.asarray(A), np.asarray(b)
+    gam = 1.0 / Lf
+    for i in range(B):
+        x = np.asarray(xs_w[i])
+        y = x - gam * (A64.conj().T @ (A64 @ x - b64))
+        mag = np.abs(y)
+        z = y / np.where(mag == 0, 1, mag) * np.maximum(
+            mag - gam * float(lams[i]), 0.0)
+        assert np.max(np.abs(x - z)) / gam <= 1.05 * tol
+        assert float(jnp.max(jnp.abs(xs_w[i] - xs_c[i]))) <= 100 * tol

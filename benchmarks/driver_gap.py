@@ -9,6 +9,7 @@ ONE process, back-to-back, host-transfer fenced, median of `--repeat` runs:
   generic    batched_run_loop + FISTA iteration (LeastSquaresLoss oracle)
   einsum     solve_lasso_batch(use_kernel=False) — specialized XLA step
   kernel     solve_lasso_batch(use_kernel=True) — fused Pallas one-step
+  packed     solve_lasso_batch_packed — zero-lane-padding packed A stream
   blocked    solve_lasso_batch_blocked(iter_block=K) — A resident in VMEM
   qp_xla / qp_kernel / qp_blocked — the box-QP family (VERDICT r1 weak #5)
 
@@ -54,7 +55,7 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--maxit", type=int, default=2000)
     ap.add_argument("--fixed-it", type=int, default=512)
-    ap.add_argument("--paths", default="generic,einsum,kernel,blocked,qp")
+    ap.add_argument("--paths", default="generic,einsum,kernel,packed,blocked,qp")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-fixed", action="store_true",
                     help="skip the tol=0 fixed-iteration pass (halves the "
@@ -177,6 +178,13 @@ def main():
         record("kernel",
                lambda tol, maxit: solve_lasso_batch(
                    A, b, lam, Lf, tol, maxit=maxit, use_kernel=True), B)
+
+    if "packed" in paths and platform == "tpu":
+        from proxtpu.kernels.lasso import solve_lasso_batch_packed
+
+        record("packed",
+               lambda tol, maxit: solve_lasso_batch_packed(
+                   A, b, lam, Lf, tol, maxit=maxit), B)
 
     if "blocked" in paths and platform == "tpu":
         record("blocked_k8",

@@ -646,10 +646,10 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                     restart=restart, x0=x0_pass,
                 )
             elif (on_tpu and interpret is not True and not mxu_small
-                    and packable and mf is None):
+                    and packable):
                 z, it, done = solve_lasso_batch_packed(
                     A, b, lam, Lfv, tol, maxit=maxit, restart=restart,
-                    x0=x0_pass,
+                    x0=x0_pass, mf=mf,
                 )
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(

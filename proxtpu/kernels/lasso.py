@@ -1168,7 +1168,7 @@ def fused_fista_packed_step(Ap, bp, x, z_prev, beta, gamma, thr,
 
 def solve_lasso_batch_packed(
     A, b, lam, Lf, tol, maxit=1000, interpret=False, restart=False,
-    x0=None, pack=None,
+    x0=None, pack=None, mf=None,
 ):
     """Batched FISTA with the zero-lane-padding packed kernel.
 
@@ -1193,12 +1193,17 @@ def solve_lasso_batch_packed(
     """
     B, M, N = A.shape
     dtype = A.dtype
+    if mf is not None and restart:
+        raise ValueError(
+            "restart needs the t-recursion; mf>0 uses a constant "
+            "extrapolation coefficient (restart would be a no-op)"
+        )
     if pack is None:
         pack = _pack_count(N, B)
     if pack == 1:
         return solve_lasso_batch(
             A, b, lam, Lf, tol, maxit=maxit, use_kernel=True,
-            interpret=interpret, restart=restart, x0=x0,
+            interpret=interpret, restart=restart, x0=x0, mf=mf,
         )
     nfull = (N // 128) * 128
     Ap, bp = pack_lasso_batch(jnp.asarray(A), jnp.asarray(b), pack)
@@ -1208,16 +1213,18 @@ def solve_lasso_batch_packed(
     z, iters, done = _solve_packed_core(
         Ap, bp, jnp.asarray(lam), jnp.asarray(Lf), tol, x0p,
         N=N, pack=pack, maxit=maxit, interpret=interpret, restart=restart,
+        mf=mf,
     )
     return (_unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B))
 
 
 @partial(
     jax.jit,
-    static_argnames=("N", "pack", "maxit", "interpret", "restart"),
+    static_argnames=("N", "pack", "maxit", "interpret", "restart", "mf"),
 )
 def _solve_packed_core(
     Ap, bp, lam, Lf, tol, x0p, *, N, pack, maxit, interpret, restart,
+    mf=None,
 ):
     """Jitted packed-FISTA core over pre-packed operands (see
     :func:`solve_lasso_batch_packed`).  Returns packed (z, iters, done)
@@ -1238,7 +1245,33 @@ def _solve_packed_core(
     )
     done0 = res0 / gamma_p <= tol
     t1 = (1 + jnp.sqrt(5.0)) / 2 * jnp.ones((Bp, pack), dtype)
-    init = (jnp.asarray(1, jnp.int32), z0, z0, t1, done0,
+    beta_const = None
+    if mf is not None:
+        # strongly-convex constant coefficient, drawn with the SAME
+        # sequence ops as the generic driver (see solve_lasso_batch(mf=))
+        from ..accel.nesterov import AdaptiveNesterovSequence
+
+        seq = AdaptiveNesterovSequence(m=float(mf))
+
+        def _two_betas(g):
+            st = seq.init_state(jnp.zeros((), dtype))
+            b1, st = seq.next_coeff(st, g)
+            b2, _ = seq.next_coeff(st, g)
+            return b1, b2
+
+        beta1, beta_const = jax.vmap(_two_betas)(gamma)
+        beta_const = beta_const.reshape(Bp, pack)
+        # the mf>0 sequence has NO zero first coefficient: extrapolate
+        # step 1 as z0 + beta1*(z0 - x0) (per problem, broadcast across
+        # that problem's packed columns)
+        nfull = (N // 128) * 128
+        b1_rows = _pack_rows(
+            jnp.broadcast_to(beta1[:, None], (Bp * pack, N)).astype(dtype),
+            pack, nfull)
+        x_init = z0 + b1_rows * (z0 - x0p)
+    else:
+        x_init = z0
+    init = (jnp.asarray(1, jnp.int32), x_init, z0, t1, done0,
             jnp.ones((Bp, pack), jnp.int32))
 
     def cond(c):
@@ -1246,8 +1279,11 @@ def _solve_packed_core(
 
     def body(c):
         k, x, z_prev, t, done, iters = c
-        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-        beta = (t - 1) / t_new
+        if beta_const is not None:
+            beta, t_new = beta_const, t
+        else:
+            t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            beta = (t - 1) / t_new
         x_new, z, res, rs = fused_fista_packed_step(
             Ap, bp, x, z_prev, beta, gamma_p, thr_p,
             done.astype(dtype), N=N, pack=pack, interpret=interpret,

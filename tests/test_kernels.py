@@ -532,3 +532,36 @@ def test_packed_solver_matches_onestep():
     z4, i4, d4 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
                                    use_kernel=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(z3), np.asarray(z4))
+
+
+def test_packed_solver_mf_route():
+    """Strongly-convex (mf>0) coefficients ride the packed kernel too:
+    per-lane counts match the natural-layout mf solver and mf genuinely
+    cuts iterations vs the plain t-recursion."""
+    from proxtpu.kernels.lasso import solve_lasso_batch_packed
+
+    rng = np.random.default_rng(13)
+    Bq, Mq, Nq = 4, 320, 160            # tall A -> strongly convex; pack=4
+    A = jnp.asarray((rng.standard_normal((Bq, Mq, Nq)) / np.sqrt(Mq))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((Bq, Mq)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    sv = [np.linalg.svd(np.asarray(A[i]), compute_uv=False)
+          for i in range(Bq)]
+    Lf = jnp.asarray([s[0] ** 2 for s in sv], jnp.float32)
+    mf = min(float(s[-1] ** 2) for s in sv)
+    z1, i1, d1 = solve_lasso_batch(A, b, lam, Lf, 1e-5, maxit=4000,
+                                   use_kernel=True, interpret=True, mf=mf)
+    z2, i2, d2 = solve_lasso_batch_packed(A, b, lam, Lf, 1e-5, maxit=4000,
+                                          interpret=True, mf=mf)
+    _, i3, d3 = solve_lasso_batch_packed(A, b, lam, Lf, 1e-5, maxit=4000,
+                                         interpret=True)
+    assert bool(jnp.all(d1)) and bool(jnp.all(d2)) and bool(jnp.all(d3))
+    assert int(np.max(np.abs(np.asarray(i1) - np.asarray(i2)))) <= 1
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=1e-4)
+    assert float(np.mean(np.asarray(i2))) < float(np.mean(np.asarray(i3)))
+    import pytest
+    with pytest.raises(ValueError):
+        solve_lasso_batch_packed(A, b, lam, Lf, 1e-5, maxit=10,
+                                 interpret=True, mf=mf, restart=True)

@@ -141,6 +141,28 @@ def li_lin_nonconvex_qp(B, reps):
         f=Quadratic(jnp.asarray(Qs), jnp.asarray(qs)),
         g=IndBox(low, upp), gamma=jnp.asarray(gammas),
     )
+    # reproducible robustness rows (BASELINE.md round-4 study): the same
+    # unscreened family through theta_restart and plain FB
+    _, _, d_tr = solver(
+        x0=jnp.zeros((gen, n), jnp.float32),
+        f=Quadratic(jnp.asarray(Qs), jnp.asarray(qs)),
+        g=IndBox(low, upp), gamma=jnp.asarray(gammas), theta_restart=True,
+    )
+    from proxtpu.algorithms import make_forward_backward_iteration
+
+    _, it_fb, d_fb = BatchedAlgorithm(
+        make_forward_backward_iteration, maxit=30_000, tol=tol,
+        use_kernels=False,
+    )(x0=jnp.zeros((gen, n), jnp.float32),
+      f=Quadratic(jnp.asarray(Qs), jnp.asarray(qs)),
+      g=IndBox(low, upp), gamma=jnp.asarray(gammas))
+    print(json.dumps({
+        "lilin_unscreened_done_frac": float(np.asarray(done_s).mean()),
+        "lilin_theta_restart_done_frac": float(np.asarray(d_tr).mean()),
+        "plain_fb_done_frac": float(np.asarray(d_fb).mean()),
+        "plain_fb_iters_median": int(np.median(np.asarray(it_fb))),
+        "generated": gen, "tol": tol,
+    }), flush=True)
     keep = np.nonzero(np.asarray(done_s))[0]
     print(json.dumps({"lilin_screened_out_frac":
                       1.0 - len(keep) / gen, "generated": gen}), flush=True)

@@ -1181,15 +1181,13 @@ def solve_lasso_batch_packed(
     up to f32 reduction-order knife edges (each problem's lane reduction
     splits into aligned-main + leftover parts).
 
-    The packing transpose runs EAGERLY (one-time data prep, ~1 ms at the
-    flagship shape), then the jitted solve core takes the packed arrays.
-    Keeping the transpose inside the solve program let XLA's first-compile
-    layout/fusion choices poison every later variant in the process
-    (measured 300 vs 187 us/iter for the SAME fixed-512 program depending
-    on which maxit variant compiled first); eager packing pins the packed
-    buffers' dense layout once.  Consequently this wrapper cannot be
-    called from inside ``jit`` — use :func:`_solve_packed_core` with
-    pre-packed operands there.
+    When called eagerly (the normal case) the packing transpose runs as
+    its own one-time op (~1 ms at the flagship shape) and the jitted solve
+    core takes the packed arrays — keeping the transpose out of the solve
+    program pins the packed buffers' dense layout once instead of leaving
+    it to per-program layout assignment.  The function is also traceable
+    (all-jax ops), so it composes with ``shard_map`` — see
+    :func:`proxtpu.parallel.sharded_solve_lasso_batch_packed`.
     """
     B, M, N = A.shape
     dtype = A.dtype

@@ -49,6 +49,7 @@ from .sharded_ops import (
 from .warm import WarmStartedBatchedAlgorithm, cast_problem
 from .sharded_kernels import (
     default_dp_mesh,
+    sharded_solve_lasso_batch_packed,
     sharded_solve_box_qp_batch,
     sharded_solve_lasso_batch,
     sharded_solve_lasso_batch_blocked,
@@ -90,6 +91,7 @@ __all__ = [
     "default_dp_mesh",
     "sharded_solve_box_qp_batch",
     "sharded_solve_lasso_batch",
+    "sharded_solve_lasso_batch_packed",
     "sharded_solve_lasso_batch_blocked",
     "sharded_solve_lasso_multirhs",
     "sharded_solve_tv_batch",

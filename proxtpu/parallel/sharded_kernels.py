@@ -85,6 +85,45 @@ def sharded_solve_lasso_batch(
     )(A, b, lam, Lf)
 
 
+def sharded_solve_lasso_batch_packed(
+    A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=1000, interpret=False,
+    restart=False, x0=None, pack=None, mf=None,
+):
+    """:func:`proxtpu.kernels.lasso.solve_lasso_batch_packed` (zero-lane-
+    padding packed A stream) data-parallel over ``axis``: each device
+    packs and solves its own lanes; the per-device batch must stay
+    divisible by the pack count (the solver falls back to the natural
+    layout otherwise)."""
+    from ..kernels.lasso import solve_lasso_batch_packed
+
+    nd = _mesh_axis_size(mesh, axis)
+    if A.shape[0] % nd:
+        raise ValueError(
+            f"batch {A.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+
+    body = partial(
+        solve_lasso_batch_packed, tol=tol, maxit=maxit,
+        interpret=interpret, restart=restart, pack=pack, mf=mf,
+    )
+    if x0 is not None:
+        return jax.shard_map(
+            lambda A_, b_, l_, L_, x_: body(A_, b_, l_, L_, x0=x_),
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )(A, b, lam, Lf, x0)
+    return jax.shard_map(
+        lambda A_, b_, l_, L_: body(A_, b_, l_, L_),
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )(A, b, lam, Lf)
+
+
 def sharded_solve_lasso_batch_blocked(
     A, b, lam, Lf, tol, *, mesh, axis="dp", maxit=2000, iter_block=8,
     interpret=False, restart=False, x0=None,

@@ -533,3 +533,28 @@ def test_generic_driver_shared_operand_dp_x_tp_sharded():
         y = x - gam * (A64.T @ (A64 @ x - b64))
         z = np.sign(y) * np.maximum(np.abs(y) - gam * float(lam[i]), 0.0)
         assert np.max(np.abs(x - z)) / gam <= 1.2e-5
+
+
+def test_sharded_lasso_packed_parity(dp_mesh):
+    """The zero-lane-padding packed kernel under shard_map: each device
+    packs its own lanes (pack=2 at N=192, per-device batch 2); parity vs
+    the single-device XLA solver."""
+    from proxtpu.kernels.lasso import solve_lasso_batch
+    from proxtpu.parallel import sharded_solve_lasso_batch_packed
+
+    A, b, lam, Lf = _lasso_batch(B=16, M=16, N=192, seed=6)
+    tol = 1e-5
+    z1, it1, d1 = solve_lasso_batch(A, b, lam, Lf, tol, maxit=3000,
+                                    use_kernel=False)
+    z8, it8, d8 = sharded_solve_lasso_batch_packed(
+        A, b, lam, Lf, tol, mesh=dp_mesh, maxit=3000, interpret=True,
+    )
+    assert bool(jnp.all(d1)) and bool(jnp.all(d8))
+    assert len(z8.sharding.device_set) == 8
+    # tol-ball membership, not bitwise: packed reductions split
+    # main+leftover per problem (1e-3 = criterion-ball at tol=1e-5 x
+    # conditioning, same slack as the unsharded packed parity test)
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), atol=1e-3)
+    # counts equal up to reduction-order knife edges
+    same = np.asarray(it8) == np.asarray(it1)
+    assert same.mean() >= 0.75, (np.asarray(it8), np.asarray(it1))

@@ -74,7 +74,13 @@ class LiLinIteration:
     def step(self, s):
         R = s.gamma.dtype
         Fz = self.f(s.z) + s.g_z
-        monitor_fail = Fz > s.F_average - self.delta * tree_norm_sq(s.res)
+        # NaN-safe orientation: a NaN Fz makes monitor_ok False and takes
+        # the monitored branch (whose case1 = NaN <= Fv is also False, so
+        # the plain FB step from x recovers a finite iterate) — matching
+        # the reference's `Fz <= thresh` predicate.  Writing this as
+        # `monitor_fail = Fz > thresh` would invert the branch under NaN
+        # and lock the solve on the momentum branch propagating NaN.
+        monitor_ok = Fz <= s.F_average - self.delta * tree_norm_sq(s.res)
         theta = s.theta
         if self.theta_restart:
             # TPU-extra safeguard (round 4, off by default — the reference
@@ -88,7 +94,7 @@ class LiLinIteration:
             # recursion restarts from theta=1.  Convergence theory is
             # unaffected (the monitor still enforces the same sufficient
             # decrease; theta is free in Li & Lin's Alg 2 analysis).
-            theta = jnp.where(monitor_fail, jnp.ones_like(theta), theta)
+            theta = jnp.where(monitor_ok, theta, jnp.ones_like(theta))
         theta1 = (1 + jnp.sqrt(1 + 4 * theta**2)) / 2
 
         w1 = (theta - 1) / theta1  # case-1 extrapolation weight
@@ -118,9 +124,7 @@ class LiLinIteration:
             Fx = jnp.where(case1, Fz, Fv).astype(R)
             return y, x_new, Fx
 
-        y, x_new, Fx = jax.lax.cond(
-            jnp.logical_not(monitor_fail), fast, monitored, None
-        )
+        y, x_new, Fx = jax.lax.cond(monitor_ok, fast, monitored, None)
 
         f_y, grad_f_y = value_and_gradient(self.f, y)
         y_forward = tree_map(lambda yl, gl: yl - s.gamma * gl, y, grad_f_y)

@@ -628,8 +628,9 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         # zero-lane-padding packed layout (round 4): N not a 128-multiple
         # wastes N/ceil128(N) of the A stream — pack 128/gcd(N,128)
         # problems per kernel row when the packed row fits the VMEM budget
-        # (measured 1.22x at the flagship 256x200x400; the packed solver
-        # has no mf route)
+        # (measured 1.15-1.18x interleaved at the flagship 256x200x400;
+        # mf rides it too — count parity pinned by
+        # test_packed_solver_mf_route)
         pack = _pack_count(int(A.shape[2]), int(A.shape[0]))
         packable = pack > 1 and pack * lane_bytes <= (4 << 20)
 

@@ -234,6 +234,26 @@ def reference_fb_prox_grad(A, b, x, gamma, thr):
     return z, jnp.max(jnp.abs(x - z), axis=1)
 
 
+def _mf_beta_pair(gamma, mf, dtype):
+    """Per-lane (beta1, beta_const) for the strongly-convex (mf>0) FISTA
+    variant, drawn with the SAME sequence ops as the generic driver's
+    ``AdaptiveNesterovSequence`` (bit-faithful: f32 rounds step 1
+    differently from steps 2+, hence the pair).  Shared by
+    :func:`solve_lasso_batch` and :func:`_solve_packed_core` so the
+    count-parity contract between them cannot drift."""
+    from ..accel.nesterov import AdaptiveNesterovSequence
+
+    seq = AdaptiveNesterovSequence(m=float(mf))
+
+    def _two_betas(g):
+        st = seq.init_state(jnp.zeros((), dtype))
+        b1, st = seq.next_coeff(st, g)
+        b2, _ = seq.next_coeff(st, g)
+        return b1, b2
+
+    return jax.vmap(_two_betas)(gamma)
+
+
 @partial(
     jax.jit,
     static_argnames=("maxit", "use_kernel", "interpret", "restart", "mf"),
@@ -292,17 +312,7 @@ def solve_lasso_batch(
     t1 = (1 + jnp.sqrt(1 + 4 * t0 * t0)) / 2
     beta_const = None
     if mf is not None:
-        from ..accel.nesterov import AdaptiveNesterovSequence
-
-        seq = AdaptiveNesterovSequence(m=float(mf))
-
-        def _two_betas(g):
-            st = seq.init_state(jnp.zeros((), dtype))
-            b1, st = seq.next_coeff(st, g)
-            b2, _ = seq.next_coeff(st, g)
-            return b1, b2
-
-        beta1, beta_const = jax.vmap(_two_betas)(gamma)
+        beta1, beta_const = _mf_beta_pair(gamma, mf, dtype)
         # the mf>0 sequence has NO zero first coefficient: the generic
         # driver extrapolates step 1 as z0 + beta1*(z0 - x0)
         x_init = z0 + beta1[:, None] * (z0 - x0)
@@ -1245,19 +1255,7 @@ def _solve_packed_core(
     t1 = (1 + jnp.sqrt(5.0)) / 2 * jnp.ones((Bp, pack), dtype)
     beta_const = None
     if mf is not None:
-        # strongly-convex constant coefficient, drawn with the SAME
-        # sequence ops as the generic driver (see solve_lasso_batch(mf=))
-        from ..accel.nesterov import AdaptiveNesterovSequence
-
-        seq = AdaptiveNesterovSequence(m=float(mf))
-
-        def _two_betas(g):
-            st = seq.init_state(jnp.zeros((), dtype))
-            b1, st = seq.next_coeff(st, g)
-            b2, _ = seq.next_coeff(st, g)
-            return b1, b2
-
-        beta1, beta_const = jax.vmap(_two_betas)(gamma)
+        beta1, beta_const = _mf_beta_pair(gamma, mf, dtype)
         beta_const = beta_const.reshape(Bp, pack)
         # the mf>0 sequence has NO zero first coefficient: extrapolate
         # step 1 as z0 + beta1*(z0 - x0) (per problem, broadcast across

@@ -35,11 +35,6 @@ from .batch import BatchedAlgorithm
 
 __all__ = ["cast_problem", "WarmStartedBatchedAlgorithm"]
 
-_NARROW = {
-    jnp.dtype(jnp.float64): jnp.float32,
-    jnp.dtype(jnp.complex128): jnp.complex64,
-}
-
 
 def cast_problem(tree, dtype=jnp.float32):
     """Cast every wide floating/complex array leaf of a problem pytree to
@@ -114,13 +109,16 @@ class WarmStartedBatchedAlgorithm:
         self.warm_dtype = warm_dtype
 
     def __call__(self, x0, **kwargs):
-        x0 = jnp.asarray(x0)
         warm_kwargs = cast_problem(kwargs, self.warm_dtype)
         xs_warm, it1, _done1 = self.warm(
             x0=cast_problem(x0, self.warm_dtype), **warm_kwargs
         )
-        xs, it2, done = self.polish(
-            x0=jax.tree.map(lambda v: jnp.asarray(v, x0.dtype), xs_warm),
-            **kwargs,
+        # cast the warm solution back leaf-by-leaf to x0's dtypes (pytree
+        # iterates are first-class in BatchedAlgorithm, so x0 may be a
+        # tuple/dict of arrays with heterogeneous dtypes)
+        x1 = jax.tree.map(
+            lambda w_, o_: jnp.asarray(w_, jnp.asarray(o_).dtype),
+            xs_warm, x0,
         )
+        xs, it2, done = self.polish(x0=x1, **kwargs)
         return xs, it1 + it2, done

@@ -95,3 +95,33 @@ def test_lilin_theta_restart(k):
     x, it = solver(x0=jnp.zeros(100, jnp.float64), f=f, g=g, gamma=gamma,
                    theta_restart=True)
     assert residual_ok(x, Q, q, low, upp, gamma, TOL)
+
+
+def test_lilin_nan_monitor_recovers():
+    """NaN-safety of the monitor predicate (round-4 review finding): when
+    Fz is NaN the monitored branch must fire (NaN <= thresh is False) and
+    its case-2 plain FB step from x must recover a finite iterate — the
+    inverted predicate (`Fz > thresh`) would keep the momentum branch and
+    propagate NaN forever."""
+    from proxtpu.algorithms.li_lin import LiLinIteration, LiLinState
+
+    Q = jnp.asarray(np.diag([1.0, 1.0]))
+    q = jnp.asarray([0.1, -0.2])
+    f, g = make_problem(Q, q, -1.0, 1.0)
+    it = LiLinIteration(
+        f=f, g=g, x0=jnp.zeros(2), gamma=jnp.asarray(0.5),
+        delta=jnp.asarray(1e-3), eta=jnp.asarray(0.8),
+        theta_restart=False,
+    )
+    s0 = it.init()
+    # poison z: Fz = f(z) + g_z becomes NaN
+    s_bad = s0._replace(z=jnp.asarray([jnp.nan, 0.0]))
+    s1 = it.step(s_bad)
+    # the monitored branch fires: x advances to the finite plain-FB point
+    # v and the moving average absorbs the finite Fv — so the monitor
+    # stays armed (the inverted predicate would set x_new = z = NaN and
+    # F_average = NaN, disabling it forever).  y legitimately carries the
+    # NaN z through the case-2 formula (same as the reference); what must
+    # never happen is the MONITOR itself going NaN.
+    assert bool(jnp.all(jnp.isfinite(s1.x)))
+    assert bool(jnp.isfinite(s1.F_average))

@@ -107,6 +107,22 @@ def broadcast_hyperparams(iteration):
     )
 
 
+def _lane_finite(state):
+    """(B,) bool per lane: every floating/complex leaf of the lane's state
+    is finite.  One cheap reduction pass over the state pytree (the state
+    is iterate-sized; the operators live in the iteration, not here)."""
+    ok = None
+    for leaf in jax.tree.leaves(state):
+        arr = jnp.asarray(leaf)
+        if not jnp.issubdtype(arr.dtype, jnp.inexact):
+            continue
+        # NaN/Inf propagate through the sum; one scalar per lane per leaf
+        tot = jnp.sum(jnp.abs(arr), axis=tuple(range(1, arr.ndim)))
+        ok_l = jnp.isfinite(tot)
+        ok = ok_l if ok is None else ok & ok_l
+    return ok
+
+
 def _freeze(done, old, new):
     """Per-lane select: lanes with done=True keep their old state."""
     def sel(o, n):
@@ -116,14 +132,27 @@ def _freeze(done, old, new):
     return jax.tree.map(sel, old, new)
 
 
-@partial(jax.jit, static_argnames=("stop", "check_every", "verbose", "freq"))
+@partial(jax.jit, static_argnames=("stop", "check_every", "verbose",
+                                   "freq", "halt_nonfinite"))
 def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
-                stop=None, check_every=1, verbose=False, freq=100):
+                stop=None, check_every=1, verbose=False, freq=100,
+                halt_nonfinite=False):
     """Advance a batch up to ``chunk`` iterations (or all-done/maxit) with
     per-lane freezing — the one shared core of both batched drivers.
 
     ``stop=None`` (the common case) keeps the jit cache key stable across
     calls; the default criterion is resolved inside the traced function.
+
+    ``halt_nonfinite=True`` adds per-lane divergence detection (SURVEY §5
+    failure detection, a TPU-batching hazard the reference cannot have):
+    a lane whose state turns non-finite (e.g. a wrong user ``Lf``
+    diverging one problem of the batch) is declared DEAD — frozen at its
+    last finite state, ``done=False``, excluded from the all-lanes exit
+    condition — so one diverged lane no longer burns the whole batch to
+    ``maxit``.  Returns a 5th output ``dead`` in this mode.  Off by
+    default: the finite check is one cheap pass over the state per step,
+    but the semantics contract ("counts equal the single driver's") is
+    cleanest without it.
 
     ``check_every=K`` runs K steps per while-loop trip — amortizing the
     fixed per-trip cost exactly like the kernels' iteration blocking.
@@ -153,34 +182,38 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
     K = check_every
 
     def cond(carry):
-        k, s, done, iters = carry
+        k, s, done, dead, iters = carry
         return (
             (k < k0 + chunk)
             & (k < maxit)
-            & jnp.logical_not(jnp.all(done))
+            & jnp.logical_not(jnp.all(done | dead))
         )
 
     def one_step(carry):
-        k, s, done, iters = carry
+        k, s, done, dead, iters = carry
         # scalar maxit gate: matches K=1's while-cond exactly, so a block
         # that straddles maxit cannot step (or count) past it
         hit_max = k >= maxit
-        frozen = done | hit_max
+        frozen = done | dead | hit_max
         s = _freeze(frozen, s, vstep(iteration, s))
         k = jnp.where(hit_max, k, k + 1)
+        if halt_nonfinite:
+            # frozen lanes keep their (finite) state, so only live lanes
+            # can newly die; a dead lane froze at its last finite iterate
+            dead = dead | (~frozen & ~_lane_finite(s))
         newly_done = vstop(iteration, s)
         iters = jnp.where(frozen, iters, k)
-        done = done | newly_done
-        return (k, s, done, iters)
+        done = done | (newly_done & ~dead)
+        return (k, s, done, dead, iters)
 
     def body(carry):
         if K == 1:
-            k, s, done, iters = one_step(carry)
+            k, s, done, dead, iters = one_step(carry)
         else:
             # exact masked K-block: every inner step freezes done lanes,
             # so counts/solutions equal K=1's (the flat machines'
             # frozen-lane contract, extended to the generic driver)
-            k, s, done, iters = jax.lax.fori_loop(
+            k, s, done, dead, iters = jax.lax.fori_loop(
                 0, K, lambda _, c: one_step(c), carry
             )
         if verbose:
@@ -195,19 +228,25 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
                 ),
                 lambda: None,
             )
-        return (k, s, done, iters)
+        return (k, s, done, dead, iters)
 
-    k, state, done, iters = jax.lax.while_loop(
-        cond, body, (k0, state, done, iters)
+    dead0 = jnp.zeros_like(done)
+    if halt_nonfinite:
+        dead0 = dead0 | ~_lane_finite(state)
+    k, state, done, dead, iters = jax.lax.while_loop(
+        cond, body, (k0, state, done, dead0, iters)
     )
-    iters = jnp.minimum(jnp.where(done, iters, k), maxit)
+    iters = jnp.minimum(jnp.where(done | dead, iters, k), maxit)
+    if halt_nonfinite:
+        return k, state, done, iters, dead
     return k, state, done, iters
 
 
 @partial(jax.jit, static_argnames=("stop", "solution", "check_every",
-                                   "verbose", "freq"))
+                                   "verbose", "freq", "halt_nonfinite"))
 def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
-                     check_every=1, verbose=False, freq=100):
+                     check_every=1, verbose=False, freq=100,
+                     halt_nonfinite=False):
     """Run a batched iteration until every lane converges (or maxit).
 
     ``iteration`` is a stacked pytree (leading batch axis on every leaf).
@@ -223,6 +262,13 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
     kernels make).  Blocking is EXACT at any K (round 4): every inner step
     is masked on the per-lane ``done`` flags, so counts and solutions
     equal K=1's (see :func:`_chunk_loop`).
+
+    ``halt_nonfinite=True`` (round 4, SURVEY §5 failure detection): a
+    lane whose state turns non-finite (a diverging problem — e.g. a wrong
+    user ``Lf``) is frozen at its last finite iterate and excluded from
+    the all-lanes exit condition, so one diverged lane no longer burns
+    the whole batch to ``maxit``.  Dead lanes report ``done=False`` with
+    ``iters`` = the iteration at which they died.
     """
     stop_ = stop or (lambda it, tol, s: it.default_stopping_criterion(tol, s))
     solution_ = solution or (lambda it, s: it.default_solution(s))
@@ -236,11 +282,13 @@ def batched_run_loop(iteration, maxit, tol, stop=None, solution=None,
         lambda it, s: stop_(unwrap_shared(it), tol, s), in_axes=(it_axes, 0)
     )(iteration, state)
     B = done0.shape[0]
-    k, state, done, iters = _chunk_loop(
+    out = _chunk_loop(
         iteration, state, jnp.asarray(1, jnp.int32), done0,
         jnp.ones((B,), jnp.int32), maxit, maxit, tol, stop=stop,
         check_every=check_every, verbose=verbose, freq=freq,
+        halt_nonfinite=halt_nonfinite,
     )
+    k, state, done, iters = out[:4]
     return (
         jax.vmap(
             lambda it, s: solution_(unwrap_shared(it), s),
@@ -593,7 +641,7 @@ class BatchedAlgorithm:
 
     def __init__(self, iteration_factory, *, maxit, tol, stop=None,
                  solution=None, use_kernels="auto", check_every=None,
-                 verbose=False, freq=100, **kwargs):
+                 verbose=False, freq=100, halt_nonfinite=False, **kwargs):
         self.iteration_factory = iteration_factory
         self.maxit = maxit
         self.tol = tol
@@ -619,6 +667,10 @@ class BatchedAlgorithm:
         # also disables kernel routing
         self.verbose = verbose
         self.freq = freq
+        # per-lane divergence detection (generic driver only — the kernel
+        # fast paths have no dead-lane carry, so the flag disables kernel
+        # routing like verbose does); see batched_run_loop
+        self.halt_nonfinite = halt_nonfinite
         self.kwargs = kwargs
 
     def _inject_backtrack_limit(self, merged):
@@ -639,7 +691,7 @@ class BatchedAlgorithm:
 
     def __call__(self, **kwargs):
         merged = {**self.kwargs, **kwargs}
-        if self.use_kernels and not self.verbose:
+        if self.use_kernels and not self.verbose and not self.halt_nonfinite:
             from ..kernels.dispatch import (
                 match_flat_adaptive,
                 match_flat_linesearch,
@@ -704,6 +756,7 @@ class BatchedAlgorithm:
             iteration, self.maxit, self.tol, stop=self.stop,
             solution=self.solution, check_every=self.check_every or 8,
             verbose=self.verbose, freq=self.freq,
+            halt_nonfinite=self.halt_nonfinite,
         )
 
     def run_recorded(self, record, record_every=1, **kwargs):

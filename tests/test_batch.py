@@ -241,3 +241,56 @@ def test_batched_new_prox_matches_loop():
             np.testing.assert_allclose(
                 np.asarray(xs[i]), np.asarray(x), rtol=0, atol=1e-12
             )
+
+
+def test_halt_nonfinite_dead_lane():
+    """Divergence detection (round 4, SURVEY §5 failure detection): one
+    lane given a catastrophically wrong Lf diverges to non-finite; with
+    halt_nonfinite=True the batch exits as soon as every lane is done OR
+    dead (instead of burning maxit), the healthy lanes' solutions and
+    counts are EXACTLY those of the clean run, and the dead lane reports
+    done=False."""
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+    from proxtpu.parallel import BatchedAlgorithm
+    from proxtpu.prox import LeastSquaresLoss, NormL1
+
+    rng = np.random.default_rng(21)
+    Bn, M_, N_ = 6, 20, 30
+    A = jnp.asarray((rng.standard_normal((Bn, M_, N_)) / np.sqrt(M_))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((Bn, M_)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    Lf = np.array([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                   for i in range(Bn)], np.float32)
+    Lf_bad = Lf.copy()
+    Lf_bad[2] = Lf[2] / 1e3  # gamma 1000x too big -> divergence
+
+    maxit = 5000
+    kw = dict(x0=jnp.zeros((Bn, N_), jnp.float32),
+              f=LeastSquaresLoss(A, b), g=NormL1(lam))
+    solver = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                              maxit=maxit, tol=1e-5, use_kernels=False,
+                              halt_nonfinite=True)
+    xs, it, done = solver(**kw, Lf=jnp.asarray(Lf_bad))
+    done = np.asarray(done)
+    assert not done[2]                     # the poisoned lane is dead
+    assert done[[0, 1, 3, 4, 5]].all()     # the rest converged
+    assert int(np.asarray(it)[2]) < maxit  # it died early, not at maxit
+    # the dead lane froze at its LAST FINITE iterate
+    assert bool(jnp.all(jnp.isfinite(xs[2])))
+    # healthy lanes: exact parity with the clean run
+    clean = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                             maxit=maxit, tol=1e-5, use_kernels=False)
+    xs_c, it_c, d_c = clean(**kw, Lf=jnp.asarray(Lf))
+    for i in (0, 1, 3, 4, 5):
+        assert int(np.asarray(it)[i]) == int(np.asarray(it_c)[i])
+        np.testing.assert_array_equal(np.asarray(xs[i]), np.asarray(xs_c[i]))
+
+    # WITHOUT the flag the same batch burns to maxit (done=False lane
+    # never exits the all-done condition)
+    plain = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                             maxit=maxit, tol=1e-5, use_kernels=False)
+    _, it_p, d_p = plain(**kw, Lf=jnp.asarray(Lf_bad))
+    assert not bool(np.asarray(d_p)[2])
+    assert int(np.asarray(it_p)[2]) == maxit

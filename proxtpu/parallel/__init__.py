@@ -46,7 +46,11 @@ from .sharded_ops import (
     shard_batch,
     shard_matrix_operator,
 )
-from .warm import WarmStartedBatchedAlgorithm, cast_problem
+from .warm import (
+    WarmStartedAlgorithm,
+    WarmStartedBatchedAlgorithm,
+    cast_problem,
+)
 from .sharded_kernels import (
     default_dp_mesh,
     sharded_solve_lasso_batch_packed,
@@ -59,6 +63,7 @@ from .sharded_kernels import (
 
 __all__ = [
     "BatchedAlgorithm",
+    "WarmStartedAlgorithm",
     "WarmStartedBatchedAlgorithm",
     "cast_problem",
     "Shared",

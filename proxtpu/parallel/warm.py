@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from .batch import BatchedAlgorithm
 
-__all__ = ["cast_problem", "WarmStartedBatchedAlgorithm"]
+__all__ = ["cast_problem", "WarmStartedAlgorithm",
+           "WarmStartedBatchedAlgorithm"]
 
 
 def cast_problem(tree, dtype=jnp.float32):
@@ -122,3 +123,40 @@ class WarmStartedBatchedAlgorithm:
         )
         xs, it2, done = self.polish(x0=x1, **kwargs)
         return xs, it1 + it2, done
+
+
+class WarmStartedAlgorithm:
+    """Single-problem counterpart of :class:`WarmStartedBatchedAlgorithm`:
+    f32 warm stage, request-dtype polish, same stopping criterion.
+
+    Takes the solver FACTORY (``pa.ZeroFPR``, ``pa.FastForwardBackward``,
+    ...) plus the driver options::
+
+        solver = WarmStartedAlgorithm(pa.ZeroFPR, maxit=5000, tol=1e-6)
+        x, it = solver(x0=x0_f64, f=f, g=g, Lf=Lf)
+
+    Motivation (BASELINE.md round 4): on the reference's own lasso_medium
+    workload, single-problem f64-emulated solves run 0.3-1.1x a single
+    CPU core — the x64 software emulation pays 3-5x per iteration for
+    hundreds of f32-reachable iterations.  Warm-starting moves those
+    iterations to native f32 and leaves only the polish in f64.  The
+    returned iteration count is the two stages' total; the solution must
+    be x0-shaped (true for every 2-term solver; primal-dual pairs need a
+    custom ``solution``)."""
+
+    def __init__(self, solver_factory, *, maxit, tol, warm_tol=1.2e-5,
+                 warm_maxit=None, warm_dtype=jnp.float32, **opts):
+        self.warm = solver_factory(
+            maxit=maxit if warm_maxit is None else warm_maxit,
+            tol=warm_tol, **opts)
+        self.polish = solver_factory(maxit=maxit, tol=tol, **opts)
+        self.warm_dtype = warm_dtype
+
+    def __call__(self, x0, **problem):
+        xw, it1 = self.warm(
+            x0=cast_problem(x0, self.warm_dtype),
+            **cast_problem(problem, self.warm_dtype))
+        x1 = jax.tree.map(
+            lambda w, o: jnp.asarray(w, jnp.asarray(o).dtype), xw, x0)
+        x, it2 = self.polish(x0=x1, **problem)
+        return x, it1 + it2

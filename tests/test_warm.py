@@ -182,3 +182,31 @@ def test_warm_started_pytree_iterate():
     # 3-term problem); check the recomputed DY residual via convergence
     # flags + finite values rather than a closed form
     assert bool(jnp.all(jnp.isfinite(u))) and bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_warm_started_single_solver():
+    """Single-problem WarmStartedAlgorithm: f32 stage + f64 polish reaches
+    the same criterion as a cold f64 solve, on the tests' lasso oracle."""
+    import proxtpu as pa
+    from proxtpu.parallel import WarmStartedAlgorithm
+    from proxtpu.prox import make_least_squares
+
+    import problems as P
+
+    A = jnp.asarray(P.LASSO_A, jnp.float64)
+    b = jnp.asarray(P.LASSO_B, jnp.float64)
+    lam = P.lasso_lam()
+    Lf = P.lasso_Lf()
+    tol = 1e-8
+    solver = WarmStartedAlgorithm(pa.FastForwardBackward, maxit=50000,
+                                  tol=tol)
+    x, it = solver(x0=jnp.zeros(A.shape[1], jnp.float64),
+                   f=make_least_squares(A, b), g=NormL1(lam), Lf=Lf)
+    assert x.dtype == jnp.float64
+    xstar = np.asarray(P.LASSO_XSTAR, np.float64)
+    assert float(jnp.max(jnp.abs(x - xstar))) <= 1e-6
+    # a ZeroFPR warm solve too (line-search family, different state shape)
+    x2, it2 = WarmStartedAlgorithm(pa.ZeroFPR, maxit=5000, tol=tol)(
+        x0=jnp.zeros(A.shape[1], jnp.float64),
+        f=make_least_squares(A, b), g=NormL1(lam))
+    assert float(jnp.max(jnp.abs(x2 - xstar))) <= 1e-6

@@ -19,8 +19,12 @@ Two configurations are measured every round (round-4 protocol):
   (``||x - z||_inf / gamma <= tol``); an inlined residual recheck asserts
   every returned lane's recomputed forward-backward residual is
   ``<= 1.1 * tol``, so the 3x iteration cut cannot silently trade accuracy.
-* **parity** — textbook FISTA (``restart=False``), the protocol of rounds
-  1-3, kept for round-over-round comparability (detail line on stderr).
+* **parity** — textbook FISTA (``restart=False``), same math/stopping
+  protocol as rounds 1-3 (detail line on stderr).  NOTE: since round 4
+  both configurations ride the packed kernel, so the parity number is
+  protocol-comparable (same algorithm, counts identical) but not
+  implementation-identical to the r1-3 natural-layout kernel (~1.16x
+  faster at equal work, BASELINE.md packed section).
 
 ``vs_baseline`` is the measured speedup over the SAME algorithm as the
 headline (FISTA + gradient-scheme adaptive restart), same data, same

@@ -62,3 +62,9 @@ bench-families:
 
 bench-x64:
     python benchmarks/x64_batched.py
+
+bench-warm-single:
+    python benchmarks/warm_single_bench.py
+
+bench-matrix-completion:
+    python benchmarks/matrix_completion_bench.py

@@ -31,7 +31,7 @@ import jax.numpy as jnp  # noqa: E402
 
 import proxtpu as pa  # noqa: E402
 from proxtpu.parallel import WarmStartedAlgorithm  # noqa: E402
-from proxtpu.prox import NormL1, make_least_squares  # noqa: E402,F401
+from proxtpu.prox import NormL1, make_least_squares  # noqa: E402
 from run_benchmarks import load_workload  # noqa: E402
 
 TOL = 1e-6
@@ -73,10 +73,8 @@ def main():
         # f32 DR at this scale).
         ("DouglasRachford", pa.DouglasRachford, dict(gamma=1.0), 100_000),
     ]
-    from proxtpu.prox import make_least_squares as mkls
-
     for name, factory, extra, maxit in FAMS:
-        problem = dict(f=mkls(A, b), g=NormL1(lam), **extra)
+        problem = dict(f=make_least_squares(A, b), g=NormL1(lam), **extra)
         cold = factory(maxit=maxit, tol=TOL, check_every=8)
         wt = 3e-5 if name == "DouglasRachford" else 1.2e-5
         warm = WarmStartedAlgorithm(factory, maxit=maxit, tol=TOL,

@@ -116,9 +116,9 @@ def _lane_finite(state):
         arr = jnp.asarray(leaf)
         if not jnp.issubdtype(arr.dtype, jnp.inexact):
             continue
-        # NaN/Inf propagate through the sum; one scalar per lane per leaf
-        tot = jnp.sum(jnp.abs(arr), axis=tuple(range(1, arr.ndim)))
-        ok_l = jnp.isfinite(tot)
+        # exact per-element check (an abs-sum would overflow on large
+        # but finite states and falsely kill healthy lanes)
+        ok_l = jnp.all(jnp.isfinite(arr), axis=tuple(range(1, arr.ndim)))
         ok = ok_l if ok is None else ok & ok_l
     return ok
 
@@ -195,16 +195,19 @@ def _chunk_loop(iteration, state, k0, done, iters, chunk, maxit, tol,
         # that straddles maxit cannot step (or count) past it
         hit_max = k >= maxit
         frozen = done | dead | hit_max
-        s = _freeze(frozen, s, vstep(iteration, s))
+        s_new = _freeze(frozen, s, vstep(iteration, s))
         k = jnp.where(hit_max, k, k + 1)
         if halt_nonfinite:
-            # frozen lanes keep their (finite) state, so only live lanes
-            # can newly die; a dead lane froze at its last finite iterate
-            dead = dead | (~frozen & ~_lane_finite(s))
-        newly_done = vstop(iteration, s)
+            # a lane whose step produced a non-finite state dies AND rolls
+            # back to its pre-step (last finite) iterate — the returned
+            # "solution" of a dead lane is always finite
+            newly_dead = ~frozen & ~_lane_finite(s_new)
+            dead = dead | newly_dead
+            s_new = _freeze(newly_dead, s, s_new)
+        newly_done = vstop(iteration, s_new)
         iters = jnp.where(frozen, iters, k)
         done = done | (newly_done & ~dead)
-        return (k, s, done, dead, iters)
+        return (k, s_new, done, dead, iters)
 
     def body(carry):
         if K == 1:

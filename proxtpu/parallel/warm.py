@@ -48,7 +48,10 @@ def cast_problem(tree, dtype=jnp.float32):
     complex_dtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
 
     def cast(leaf):
-        arr = jnp.asarray(leaf)
+        try:
+            arr = jnp.asarray(leaf)
+        except (TypeError, ValueError):
+            return leaf  # callables / non-array options pass through
         if jnp.issubdtype(arr.dtype, jnp.complexfloating):
             return arr.astype(complex_dtype)
         if jnp.issubdtype(arr.dtype, jnp.floating):
@@ -146,9 +149,12 @@ class WarmStartedAlgorithm:
 
     def __init__(self, solver_factory, *, maxit, tol, warm_tol=1.2e-5,
                  warm_maxit=None, warm_dtype=jnp.float32, **opts):
+        # construction-time problem kwargs (the two-stage UX allows e.g.
+        # f=/g= here) must reach the warm stage narrowed too, like the
+        # batched class; cast_problem leaves non-array options untouched
         self.warm = solver_factory(
             maxit=maxit if warm_maxit is None else warm_maxit,
-            tol=warm_tol, **opts)
+            tol=warm_tol, **cast_problem(opts, warm_dtype))
         self.polish = solver_factory(maxit=maxit, tol=tol, **opts)
         self.warm_dtype = warm_dtype
 

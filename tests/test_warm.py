@@ -210,3 +210,30 @@ def test_warm_started_single_solver():
         x0=jnp.zeros(A.shape[1], jnp.float64),
         f=make_least_squares(A, b), g=NormL1(lam))
     assert float(jnp.max(jnp.abs(x2 - xstar))) <= 1e-6
+
+
+def test_warm_single_construction_time_problem_kwargs():
+    """Problem kwargs bound at CONSTRUCTION (the two-stage UX) must reach
+    the warm stage narrowed too (round-4 review finding): the warm-stage
+    solver's stored operator is f32 even though the bound one is f64."""
+    import proxtpu as pa
+    from proxtpu.parallel import WarmStartedAlgorithm
+    from proxtpu.prox import make_least_squares
+
+    import problems as P
+
+    A = jnp.asarray(P.LASSO_A, jnp.float64)
+    b = jnp.asarray(P.LASSO_B, jnp.float64)
+    solver = WarmStartedAlgorithm(
+        pa.FastForwardBackward, maxit=50000, tol=1e-8,
+        f=make_least_squares(A, b), g=NormL1(P.lasso_lam()),
+        Lf=P.lasso_Lf(),
+    )
+    # the warm stage's partially-applied operator was narrowed
+    warm_f = solver.warm.kwargs["f"]
+    assert jnp.asarray(warm_f.A).dtype == jnp.float32
+    polish_f = solver.polish.kwargs["f"]
+    assert jnp.asarray(polish_f.A).dtype == jnp.float64
+    x, it = solver(x0=jnp.zeros(A.shape[1], jnp.float64))
+    xstar = np.asarray(P.LASSO_XSTAR, np.float64)
+    assert float(jnp.max(jnp.abs(x - xstar))) <= 1e-6

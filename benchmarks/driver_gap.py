@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--maxit", type=int, default=2000)
     ap.add_argument("--fixed-it", type=int, default=512)
-    ap.add_argument("--paths", default="generic,einsum,kernel,packed,blocked,qp")
+    ap.add_argument("--paths", default="generic,generic_k8,einsum,kernel,packed,blocked,qp")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-fixed", action="store_true",
                     help="skip the tol=0 fixed-iteration pass (halves the "

@@ -110,7 +110,11 @@ def broadcast_hyperparams(iteration):
 def _lane_finite(state):
     """(B,) bool per lane: every floating/complex leaf of the lane's state
     is finite.  One cheap reduction pass over the state pytree (the state
-    is iterate-sized; the operators live in the iteration, not here)."""
+    is iterate-sized; the operators live in the iteration, not here).
+
+    A state with no inexact leaves (nothing that *can* be non-finite) is
+    vacuously all-finite: returns a scalar True, which broadcasts cleanly
+    against the (B,) masks at both call sites."""
     ok = None
     for leaf in jax.tree.leaves(state):
         arr = jnp.asarray(leaf)
@@ -120,6 +124,8 @@ def _lane_finite(state):
         # but finite states and falsely kill healthy lanes)
         ok_l = jnp.all(jnp.isfinite(arr), axis=tuple(range(1, arr.ndim)))
         ok = ok_l if ok is None else ok & ok_l
+    if ok is None:
+        return jnp.asarray(True)
     return ok
 
 

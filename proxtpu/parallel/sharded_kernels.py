@@ -91,15 +91,24 @@ def sharded_solve_lasso_batch_packed(
 ):
     """:func:`proxtpu.kernels.lasso.solve_lasso_batch_packed` (zero-lane-
     padding packed A stream) data-parallel over ``axis``: each device
-    packs and solves its own lanes; the per-device batch must stay
-    divisible by the pack count (the solver falls back to the natural
-    layout otherwise)."""
+    packs and solves its own lanes.  With ``pack=None`` (auto) the solver
+    falls back to the natural layout when the per-device batch isn't
+    divisible by the pack count; an *explicit* ``pack`` must divide the
+    per-device batch (validated here — inside ``shard_map`` it would
+    surface as an opaque reshape error)."""
     from ..kernels.lasso import solve_lasso_batch_packed
 
     nd = _mesh_axis_size(mesh, axis)
     if A.shape[0] % nd:
         raise ValueError(
             f"batch {A.shape[0]} not divisible by mesh axis {axis}={nd}"
+        )
+    if pack is not None and pack > 1 and (A.shape[0] // nd) % pack:
+        raise ValueError(
+            f"explicit pack={pack} does not divide the per-device batch "
+            f"{A.shape[0] // nd} (= {A.shape[0]} / {axis}={nd}); use "
+            f"pack=None for automatic selection with natural-layout "
+            f"fallback"
         )
 
     body = partial(

@@ -84,10 +84,13 @@ class WarmStartedBatchedAlgorithm:
     ``warm_tol`` defaults to 1.2e-5 — just above the f32 FB-residual noise
     floor measured at the flagship scale (tol=1e-5 converges every lane in
     f32), so stage 1 extracts everything f32 can reach and stage 2 only
-    polishes.  The on-chip sweep (tol 1e-6 / 1e-8, flagship lasso batch):
-    warm_tol 1e-4 -> 982/185 p/s, 3e-5 -> 1368/280, 1.2e-5 -> 1730/343 vs
-    cold f64 422/79.5, i.e. the default is ~4.1-4.3x cold
-    (``benchmarks/x64_batched.py``, ``results_x64_batched.jsonl``).  If
+    polishes.  The committed default-run record
+    (``benchmarks/x64_batched.py``, ``results_x64_batched.jsonl``): warm
+    1622/337 p/s vs cold f64 406/78 at tol 1e-6/1e-8, i.e. ~4.0-4.3x cold.
+    The ``warm_tol`` sweep behind the default (same session, BASELINE.md
+    round-4 precision-warm-starting section): 1e-4 -> 982/185 p/s,
+    3e-5 -> 1368/280, 1.2e-5 -> 1730/343 — monotone down to the noise
+    floor, hence the 1.2e-5 choice.  If
     stage 1 stalls above ``warm_tol`` on a harder problem class (f32
     attainability is problem-dependent), it exits at ``warm_maxit`` and
     stage 2 still finishes the job — correctness never depends on the

@@ -59,11 +59,23 @@ def pdot(a, b):
 
 def pmatvec(a, x):
     """Precision-pinned matvec with matching leading batch dims:
-    ``a[..., i, j] x[..., j] -> y[..., i]``.
+    ``a[..., i, j] x[..., j] -> y[..., i]`` when ``x`` has one fewer dim
+    than ``a`` (the vector/batched-vector case), plain ``matmul``
+    otherwise (matrix-valued iterates: ``(n, n) @ (n, k)``, batched
+    ``(B, n, n) @ (B, n, k)``).
 
-    ``jnp.matmul`` treats a 2-D second operand as a matrix, so an eagerly
-    stacked ``(B, n, n) @ (B, n)`` (e.g. a batched :class:`Quadratic`
-    built outside ``vmap``) mis-contracts; this keeps per-lane matvec
-    semantics at any batch rank while matching ``pdot`` exactly for the
-    unbatched ``(n, n) @ (n,)`` case."""
+    Rationale: ``jnp.matmul`` treats a 2-D second operand as a matrix, so
+    an eagerly stacked ``(B, n, n) @ (B, n)`` (e.g. a batched
+    :class:`Quadratic` built outside ``vmap``) mis-contracts — that case
+    (``x.ndim == a.ndim - 1``) routes through einsum.  When ``x.ndim >=
+    a.ndim`` the operand IS a matrix (or matrix stack) and matmul
+    semantics are what the caller means — this preserves the pre-existing
+    support for matrix iterates.  The one shape this cannot disambiguate
+    is a *shared* 2-D ``a`` against an eagerly stacked ``(B, n)`` vector
+    batch, which reads as an ``(n, B)``-matrix contraction; express that
+    as a stacked/``Shared`` operand or per-lane ``vmap`` instead."""
+    a = jnp.asarray(a)
+    x = jnp.asarray(x)
+    if x.ndim >= a.ndim:
+        return jnp.matmul(a, x, precision=_PRECISION)
     return jnp.einsum("...ij,...j->...i", a, x, precision=_PRECISION)

@@ -79,3 +79,32 @@ def test_hand_oracle_preferred_over_ad():
     _, g = value_and_gradient(Weird(), jnp.ones(3))
     assert calls  # the hand oracle was used
     np.testing.assert_allclose(np.asarray(g), 99.0 * np.ones(3))
+
+
+def test_quadratic_matrix_iterate():
+    """ADVICE r4: Quadratic must keep supporting matrix-valued operands —
+    pmatvec((n,n), (n,k)) is a matmul, not a mis-broadcast einsum — while
+    preserving the batched-(B,n,n)/(B,n) per-lane matvec it was added for."""
+    from proxtpu.utils.precision import pmatvec
+
+    rng = np.random.default_rng(3)
+    n, k, B = 5, 3, 4
+    Q = jnp.asarray(rng.standard_normal((n, n)))
+    X = jnp.asarray(rng.standard_normal((n, k)))
+    np.testing.assert_allclose(np.asarray(pmatvec(Q, X)),
+                               np.asarray(Q) @ np.asarray(X), atol=1e-12)
+    # batched matrices x batched vectors: per-lane matvec
+    Qb = jnp.asarray(rng.standard_normal((B, n, n)))
+    xb = jnp.asarray(rng.standard_normal((B, n)))
+    np.testing.assert_allclose(
+        np.asarray(pmatvec(Qb, xb)),
+        np.einsum("bij,bj->bi", np.asarray(Qb), np.asarray(xb)), atol=1e-12)
+    # batched matrices x batched matrix iterates
+    Xb = jnp.asarray(rng.standard_normal((B, n, k)))
+    np.testing.assert_allclose(
+        np.asarray(pmatvec(Qb, Xb)),
+        np.einsum("bij,bjk->bik", np.asarray(Qb), np.asarray(Xb)),
+        atol=1e-12)
+    # the original Quadratic-with-matrix-gradient path
+    grad_val = pmatvec(Q, X) + jnp.zeros((n, k))
+    assert grad_val.shape == (n, k)

@@ -294,3 +294,21 @@ def test_halt_nonfinite_dead_lane():
     _, it_p, d_p = plain(**kw, Lf=jnp.asarray(Lf_bad))
     assert not bool(np.asarray(d_p)[2])
     assert int(np.asarray(it_p)[2]) == maxit
+
+
+def test_lane_finite_no_inexact_leaves():
+    """ADVICE r4: a state pytree with no floating/complex leaves is
+    vacuously finite — _lane_finite must return a broadcastable True, not
+    None (which made ``~_lane_finite(s)`` a trace-time TypeError under
+    halt_nonfinite=True)."""
+    from proxtpu.parallel.batch import _lane_finite
+
+    ok = _lane_finite({"k": jnp.zeros((4,), jnp.int32),
+                       "flag": jnp.ones((4,), bool)})
+    assert bool(ok)                       # scalar True
+    dead = jnp.zeros((4,), bool) | ~ok    # broadcasts against (B,) masks
+    assert not bool(jnp.any(dead))
+    # mixed pytree still reduces per lane
+    ok2 = _lane_finite({"k": jnp.zeros((3,), jnp.int32),
+                        "x": jnp.asarray([1.0, jnp.nan, 2.0])})
+    np.testing.assert_array_equal(np.asarray(ok2), [True, False, True])

@@ -558,3 +558,17 @@ def test_sharded_lasso_packed_parity(dp_mesh):
     # counts equal up to reduction-order knife edges
     same = np.asarray(it8) == np.asarray(it1)
     assert same.mean() >= 0.75, (np.asarray(it8), np.asarray(it1))
+
+
+def test_sharded_packed_explicit_pack_validated(dp_mesh):
+    """ADVICE r4: an explicit pack that doesn't divide the per-device
+    batch must raise a clear ValueError up front, not an opaque reshape
+    error inside shard_map (auto pack=None falls back instead)."""
+    from proxtpu.parallel import sharded_solve_lasso_batch_packed
+
+    A, b, lam, Lf = _lasso_batch(B=16, M=16, N=192, seed=7)
+    with pytest.raises(ValueError, match="per-device batch"):
+        sharded_solve_lasso_batch_packed(
+            A, b, lam, Lf, 1e-5, mesh=dp_mesh, maxit=10, interpret=True,
+            pack=3,
+        )

@@ -7,7 +7,8 @@ metric (BASELINE.json) is *batched problems/sec to convergence*: a stacked
 batch of lasso instances solved by the fused-Pallas-kernel batched FISTA
 driver, every per-lane matvec fused into one MXU-fed kernel step.
 
-Two configurations are measured every round (round-4 protocol):
+Two configurations are measured every round (round-4 protocol; round 5
+hardens the timing against the tunnel window lottery — see ``timed``):
 
 * **headline** — the library's best validated distinct-A path:
   ``solve_lasso_batch_packed(restart=True)`` (per-lane O'Donoghue-Candès
@@ -166,25 +167,37 @@ def run_jax(As, bs, lams, Lfs):
         # backend; a host transfer is the only reliable completion fence.
         return np.asarray(xs), np.asarray(iters), np.asarray(done)
 
-    # Protocol (round-2 hardening): 1 warm/compile run, then >= 5 timed
-    # runs; report the MEDIAN (tunnel load makes the mean wander ~2x) and
-    # IQR, plus a compile-excluded fixed-iteration-count run so
-    # per-iteration time is comparable across rounds regardless of
-    # convergence behavior.
-    def timed(restart):
+    # Protocol (round-5 hardening): 1 warm/compile run, then timed reps
+    # spread over EPOCHS separated by sleeps.  The axon tunnel's
+    # deliverable rate is bimodal on minute scales (+-35%, BASELINE.md
+    # round-4 window-lottery section) and sticky within a process-minute,
+    # so 5 back-to-back reps all sample ONE window; 3 epochs x 3 reps with
+    # ~25 s gaps sample ~3 windows and the median lands mid-distribution —
+    # the committed number stops inheriting a single window draw.  The IQR
+    # over all 9 reps makes a cross-window spread visible in the output.
+    def timed(restart, epochs=3, reps=3, gap_s=25.0):
         xs, iters, done = solve(restart)  # compile + warm
         times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            xs, iters, done = solve(restart)
-            times.append(time.perf_counter() - t0)
+        epoch_medians = []
+        for e in range(epochs):
+            if e:
+                time.sleep(gap_s)
+            et = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                xs, iters, done = solve(restart)
+                et.append(time.perf_counter() - t0)
+            times += et
+            epoch_medians.append(BATCH / float(np.median(et)))
         dt = float(np.median(times))
         iqr = float(np.percentile(times, 75) - np.percentile(times, 25))
         return {
             "pps": BATCH / dt,
             "rel_iqr": iqr / dt,
             "mean_it": float(np.mean(iters)),
+            "max_it": int(np.max(iters)),
             "frac_done": float(np.mean(done)),
+            "epoch_pps": epoch_medians,
             "xs": xs,
         }
 
@@ -225,7 +238,8 @@ def main():
                 "unit": f"problems/s ({M}x{N} lasso to tol={TOL}, "
                 f"batch={BATCH}, {platform}; adaptive-restart packed FISTA "
                 f"kernel, all lanes residual-rechecked <=1.1*tol; median "
-                f"of 5, IQR {100 * headline['rel_iqr']:.0f}%, "
+                f"of 3x3 reps across sleep-separated epochs (window-"
+                f"lottery hardening), IQR {100 * headline['rel_iqr']:.0f}%, "
                 f"{per_iter_us:.0f} us/iter fixed-512-it; textbook-FISTA "
                 f"parity line {parity['pps']:.0f} p/s; baseline "
                 f"median-of-{BASELINE_PROBLEMS} numpy restart-FISTA "
@@ -237,10 +251,13 @@ def main():
     print(
         f"# headline(restart): {headline['pps']:.2f} p/s "
         f"mean_it={headline['mean_it']:.0f} "
+        f"max_it={headline['max_it']} "
         f"converged={headline['frac_done']:.3f} "
         f"rel_iqr={headline['rel_iqr']:.3f} "
         f"worst_recheck_res={headline['worst_res']:.2e} "
-        f"per_iter={per_iter_us:.1f}us",
+        f"per_iter={per_iter_us:.1f}us "
+        f"epoch_medians="
+        f"{'/'.join(f'{p:.0f}' for p in headline['epoch_pps'])}",
         file=sys.stderr,
     )
     print(

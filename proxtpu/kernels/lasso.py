@@ -254,13 +254,33 @@ def _mf_beta_pair(gamma, mf, dtype):
     return jax.vmap(_two_betas)(gamma)
 
 
+def _validate_step_mult(step_mult, restart, mf):
+    if step_mult == 1.0:
+        return
+    if not (0.0 < step_mult < 2.0):
+        raise ValueError(
+            f"step_mult={step_mult} outside (0, 2): forward-backward on the "
+            f"L-smooth quadratic diverges at gamma >= 2/L"
+        )
+    if step_mult > 1.0 and not restart:
+        raise ValueError(
+            "step_mult > 1 requires restart=True: Nesterov momentum at "
+            "gamma > 1/L is unstable without the gradient-scheme restart "
+            "(measured: divergence on the flagship workload)"
+        )
+    if mf is not None:
+        raise ValueError("step_mult is not supported with mf (the "
+                         "strongly-convex constant-beta variant)")
+
+
 @partial(
     jax.jit,
-    static_argnames=("maxit", "use_kernel", "interpret", "restart", "mf"),
+    static_argnames=("maxit", "use_kernel", "interpret", "restart", "mf",
+                     "step_mult", "stall_patience"),
 )
 def solve_lasso_batch(
     A, b, lam, Lf, tol, maxit=1000, use_kernel=True, interpret=False,
-    restart=False, x0=None, mf=None,
+    restart=False, x0=None, mf=None, step_mult=1.0, stall_patience=100,
 ):
     """Batched FISTA lasso solver with the fused Pallas step.
 
@@ -284,15 +304,51 @@ def solve_lasso_batch(
     differently from steps 2+, hence the pair) and skips the t-recursion.
     Mutually exclusive with ``restart`` (resetting a constant sequence is
     a no-op).
+
+    ``step_mult`` (static float in (0, 2), default 1.0) over-relaxes the
+    stepsize to ``gamma = step_mult / Lf``.  Forward-backward on the
+    least-squares term converges for any gamma < 2/L, and on sparse
+    solutions the momentum+restart combination at gamma ~ 1.5/L cuts
+    MEAN iteration counts 15-25% (measured: 164 -> 141 on the flagship
+    256x200x400 batch).  The stopping rule becomes the CANONICAL
+    criterion ``||x - z||_inf * Lf <= tol``, which (a) equals the
+    textbook ``||res||_inf / gamma <= tol`` when step_mult == 1 and (b)
+    certifies it at gamma > 1/L via the gradient-mapping monotonicity
+    lemma ``gamma1 ||G_gamma1|| <= gamma2 ||G_gamma2||`` for gamma1 <=
+    gamma2 (Beck, First-Order Methods, Thm 10.9) — returned solutions
+    satisfy the same criterion as step_mult=1 solves.  Requires
+    ``restart=True``: without the restart the momentum diverges
+    (measured).  SAFEGUARD: over-relaxation is only stable when the
+    active-set-reduced problem is well conditioned (measured: at lam =
+    0.02 lam_max, gamma = 1.5/L DIVERGES — crit reaches 1e29 within 250
+    iterations — on ~45% of instances), so each lane watches for runaway
+    (crit > 10x its best) or ``stall_patience`` consecutive
+    non-improving iterations and then cold-restarts the TEXTBOOK solve
+    (canonical gamma, fresh momentum, iterate back to x0); worst-case
+    lane cost = textbook + detection (~5-25% measured).  WHEN TO USE:
+    batched WALL time is governed by the slowest lane, so on large
+    batches one safeguard-triggering lane erases the mean win (measured
+    at the flagship batch: max lane 285 -> 367, wall 0.8-1.2x — NOT an
+    improvement; BASELINE.md round-5 study), while well-conditioned
+    batches (M/N >~ 1/2 at moderate aspect) win uniformly.  Off by
+    default; the textbook path is untouched when step_mult == 1.
     """
     B, M, N = A.shape
     dtype = A.dtype
-    gamma = (1.0 / Lf).astype(dtype)
+    _validate_step_mult(step_mult, restart, mf)
+    gamma0 = (1.0 / Lf).astype(dtype)           # canonical 1/L (criterion)
+    gamma = (step_mult / Lf).astype(dtype)      # step
     thr = (gamma * lam).astype(dtype)
     if mf is not None and restart:
         raise ValueError(
             "restart needs the t-recursion; mf>0 uses a constant "
             "extrapolation coefficient (restart would be a no-op)"
+        )
+    if step_mult != 1.0:
+        return _solve_lasso_batch_overrelaxed(
+            A, b, jnp.asarray(lam), gamma0, gamma, tol, maxit=maxit,
+            use_kernel=use_kernel, interpret=interpret, x0=x0,
+            stall_patience=stall_patience,
         )
     step_fn = (
         partial(fused_fb_prox_grad, interpret=interpret)
@@ -404,6 +460,105 @@ def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
                     done | newly_done, iters)
 
     return body
+
+
+def _solve_lasso_batch_overrelaxed(
+    A, b, lam, gamma0, gamma_init, tol, *, maxit, use_kernel, interpret,
+    x0, stall_patience,
+):
+    """Over-relaxed restart-FISTA with the per-lane stall safeguard (see
+    :func:`solve_lasso_batch` ``step_mult`` docs).  The per-lane gamma
+    lives in the while-loop carry so a stalling lane can fall back to the
+    canonical 1/Lf mid-solve; the kernels already take per-lane
+    gamma/thr as per-call operands, so the kernel code is unchanged."""
+    B, M, N = A.shape
+    dtype = A.dtype
+    step_fn = (
+        partial(fused_fb_prox_grad, interpret=interpret)
+        if use_kernel
+        else reference_fb_prox_grad
+    )
+    if use_kernel:
+        full_step = lambda x, zp, beta, gam, dm: fused_fista_full_step(
+            A, b, x, zp, beta, gam, (gam * lam).astype(dtype), dm,
+            interpret=interpret, restart=True,
+        )
+    else:
+        def full_step(x, zp, beta, gam, dm):
+            z, res = reference_fb_prox_grad(
+                A, b, x, gam, (gam * lam).astype(dtype)
+            )
+            rs = jnp.sum((x - z) * (z - zp), axis=1)
+            beta = jnp.where(rs > 0, jnp.zeros_like(beta), beta)
+            x_new = z + beta[:, None] * (z - zp)
+            keep = dm[:, None] > 0
+            return (jnp.where(keep, x, x_new), jnp.where(keep, zp, z),
+                    jnp.where(dm > 0, 0.0, res).astype(dtype),
+                    jnp.where(dm > 0, 0.0, rs).astype(dtype))
+
+    x0 = jnp.zeros((B, N), dtype) if x0 is None else \
+        jnp.asarray(x0, dtype).reshape(B, N)
+    z0, res0 = step_fn(A, b, x0, gamma_init,
+                       (gamma_init * lam).astype(dtype))
+    crit0 = res0 / gamma0
+    done0 = crit0 <= tol
+    t1 = jnp.ones((B,), dtype)
+    t1 = (1 + jnp.sqrt(1 + 4 * t1 * t1)) / 2
+    init = (
+        jnp.asarray(1, jnp.int32), z0, z0, t1, done0,
+        jnp.ones((B,), jnp.int32),
+        gamma_init,                      # per-lane stepsize (may back off)
+        crit0,                           # best criterion value seen
+        jnp.zeros((B,), jnp.int32),      # iterations since improvement
+    )
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+
+    def body(c):
+        k, x, z_prev, t, done, iters, gam, best, since = c
+        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+        beta = (t - 1) / t_new
+        x_new, z, res, rs = full_step(x, z_prev, beta, gam,
+                                      done.astype(dtype))
+        # immediate-restart t carry (rs > 0 lanes had beta zeroed in-step)
+        phi = jnp.asarray((1 + jnp.sqrt(5.0)) / 2, t_new.dtype)
+        t_new = jnp.where(rs > 0, phi, t_new)
+        crit = res / gamma0              # canonical ||G_{1/L}|| certificate
+        newly_done = crit <= tol
+        # Stall/runaway safeguard.  An over-relaxed lane fails by
+        # DIVERGING (measured: crit reaches 1e29 within 250 iterations at
+        # lam = 0.02 lam_max — not a bounded limit cycle), so two
+        # triggers: `runaway` (crit blew 10x past the best seen — fires
+        # within ~20 iterations of the instability) and `stall_patience`
+        # consecutive non-improving iterations (the slow-cycle catch-all;
+        # the 0.999 relative margin keeps f32 noise from resetting the
+        # counter).  A triggered lane COLD-RESTARTS the textbook solve:
+        # canonical gamma, fresh momentum, iterate back to x0 (the
+        # diverged iterate is garbage — converging from it costs ~10x
+        # more than restarting, measured).  `gam > gamma0` makes the
+        # trigger one-shot; crit is gamma-independent so `best` stays
+        # comparable across the backoff.
+        improved = crit < best * 0.999
+        runaway = crit > best * 10.0
+        best = jnp.where((~done) & improved, crit, best)
+        since = jnp.where(done | improved, 0, since + 1)
+        stall = (~done) & ((since >= stall_patience) | runaway) & \
+            (gam > gamma0)
+        gam = jnp.where(stall, gamma0, gam)
+        t_new = jnp.where(stall, jnp.ones_like(t_new), t_new)
+        since = jnp.where(stall, 0, since)
+        x_new = jnp.where(stall[:, None], x0, x_new)
+        z = jnp.where(stall[:, None], x0, z)
+        k = k + 1
+        iters = jnp.where(done, iters, k)
+        return (k, x_new, z, jnp.where(done, t, t_new),
+                done | newly_done, iters, gam, best, since)
+
+    out = jax.lax.while_loop(cond, body, init)
+    k, x, z, t, done, iters = out[:6]
+    iters = jnp.where(done, iters, k)
+    return z, iters, done
 
 
 @partial(jax.jit, static_argnames=("use_kernel", "interpret", "restart"))
@@ -1178,12 +1333,14 @@ def fused_fista_packed_step(Ap, bp, x, z_prev, beta, gamma, thr,
 
 def solve_lasso_batch_packed(
     A, b, lam, Lf, tol, maxit=1000, interpret=False, restart=False,
-    x0=None, pack=None, mf=None,
+    x0=None, pack=None, mf=None, step_mult=1.0, stall_patience=100,
 ):
     """Batched FISTA with the zero-lane-padding packed kernel.
 
-    Same stopping rule, freezing and (optional) adaptive-restart semantics
-    as :func:`solve_lasso_batch`; the A stream carries no pad bytes (22%
+    Same stopping rule, freezing and (optional) adaptive-restart and
+    over-relaxation (``step_mult``/``stall_patience``, see
+    :func:`solve_lasso_batch`) semantics as :func:`solve_lasso_batch`;
+    the A stream carries no pad bytes (22%
     of the per-iteration cost at the flagship 256x200x400 shape, where
     N=400 pads to 512 lanes in the natural layout).  ``pack`` problems are
     interleaved per kernel row (default ``128/gcd(N,128)``); requires
@@ -1206,12 +1363,14 @@ def solve_lasso_batch_packed(
             "restart needs the t-recursion; mf>0 uses a constant "
             "extrapolation coefficient (restart would be a no-op)"
         )
+    _validate_step_mult(step_mult, restart, mf)
     if pack is None:
         pack = _pack_count(N, B)
     if pack == 1:
         return solve_lasso_batch(
             A, b, lam, Lf, tol, maxit=maxit, use_kernel=True,
             interpret=interpret, restart=restart, x0=x0, mf=mf,
+            step_mult=step_mult, stall_patience=stall_patience,
         )
     nfull = (N // 128) * 128
     Ap, bp = pack_lasso_batch(jnp.asarray(A), jnp.asarray(b), pack)
@@ -1221,29 +1380,43 @@ def solve_lasso_batch_packed(
     z, iters, done = _solve_packed_core(
         Ap, bp, jnp.asarray(lam), jnp.asarray(Lf), tol, x0p,
         N=N, pack=pack, maxit=maxit, interpret=interpret, restart=restart,
-        mf=mf,
+        mf=mf, step_mult=step_mult, stall_patience=stall_patience,
     )
     return (_unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B))
 
 
 @partial(
     jax.jit,
-    static_argnames=("N", "pack", "maxit", "interpret", "restart", "mf"),
+    static_argnames=("N", "pack", "maxit", "interpret", "restart", "mf",
+                     "step_mult", "stall_patience"),
 )
 def _solve_packed_core(
     Ap, bp, lam, Lf, tol, x0p, *, N, pack, maxit, interpret, restart,
-    mf=None,
+    mf=None, step_mult=1.0, stall_patience=100,
 ):
     """Jitted packed-FISTA core over pre-packed operands (see
     :func:`solve_lasso_batch_packed`).  Returns packed (z, iters, done)
-    with per-problem arrays shaped (Bp, pack)."""
+    with per-problem arrays shaped (Bp, pack).  ``step_mult != 1`` runs
+    the over-relaxed + stall-safeguard variant (same semantics as
+    :func:`_solve_lasso_batch_overrelaxed`, canonical stopping
+    criterion)."""
     Bp, M, W = Ap.shape
     B = Bp * pack
     dtype = Ap.dtype
-    gamma = jnp.broadcast_to((1.0 / jnp.asarray(Lf)).astype(dtype), (B,))
+    gamma = jnp.broadcast_to(
+        (step_mult / jnp.asarray(Lf)).astype(dtype), (B,))
     thr = jnp.broadcast_to((gamma * jnp.asarray(lam)).astype(dtype), (B,))
     gamma_p = gamma.reshape(Bp, pack)
     thr_p = thr.reshape(Bp, pack)
+    if step_mult != 1.0:
+        gamma0_p = jnp.broadcast_to(
+            (1.0 / jnp.asarray(Lf)).astype(dtype), (B,)).reshape(Bp, pack)
+        lam_p = jnp.broadcast_to(
+            jnp.asarray(lam, dtype), (B,)).reshape(Bp, pack)
+        return _solve_packed_overrelaxed(
+            Ap, bp, lam_p, gamma0_p, gamma_p, tol, x0p, N=N, pack=pack,
+            maxit=maxit, interpret=interpret, stall_patience=stall_patience,
+        )
     zeros_b = jnp.zeros((Bp, pack), dtype)
     # init FB step = the packed step with beta = 0 (x_new == z); the
     # restart signal at zp=x0 is -(x-z)^2 <= 0, so no spurious reset
@@ -1295,5 +1468,85 @@ def _solve_packed_core(
                 done | newly_done, iters)
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(done, iters, k)
+    return z, iters, done
+
+
+def _solve_packed_overrelaxed(
+    Ap, bp, lam_p, gamma0_p, gamma_init_p, tol, x0p, *, N, pack, maxit,
+    interpret, stall_patience,
+):
+    """Packed-layout over-relaxed restart-FISTA with the per-lane stall
+    safeguard (see :func:`solve_lasso_batch` ``step_mult`` docs); all
+    bookkeeping is (Bp, pack)-shaped, the packed kernel is unchanged."""
+    Bp, M, W = Ap.shape
+    dtype = Ap.dtype
+    zeros_b = jnp.zeros((Bp, pack), dtype)
+    nfull = (N // 128) * 128
+    rem = N - nfull
+
+    def expand_rows(mask_p):
+        """(Bp, pack) per-problem mask -> (Bp, W) packed-row mask (problem
+        i's main slice at [nfull*i, nfull*(i+1)), leftovers trailing) —
+        plain repeats, no transposes, so it is cheap inside the loop."""
+        mm = jnp.repeat(mask_p, nfull, axis=1, total_repeat_length=pack * nfull)
+        if rem:
+            ml = jnp.repeat(mask_p, rem, axis=1,
+                            total_repeat_length=pack * rem)
+            mm = jnp.concatenate([mm, ml], axis=1)
+        return mm
+
+    z0, _, res0, _ = fused_fista_packed_step(
+        Ap, bp, x0p, x0p, zeros_b, gamma_init_p,
+        (gamma_init_p * lam_p).astype(dtype), zeros_b,
+        N=N, pack=pack, interpret=interpret, restart=True,
+    )
+    crit0 = res0 / gamma0_p
+    done0 = crit0 <= tol
+    t1 = (1 + jnp.sqrt(5.0)) / 2 * jnp.ones((Bp, pack), dtype)
+    init = (
+        jnp.asarray(1, jnp.int32), z0, z0, t1, done0,
+        jnp.ones((Bp, pack), jnp.int32),
+        gamma_init_p, crit0, jnp.zeros((Bp, pack), jnp.int32),
+    )
+
+    def cond(c):
+        return (c[0] < maxit) & jnp.logical_not(jnp.all(c[4]))
+
+    def body(c):
+        k, x, z_prev, t, done, iters, gam, best, since = c
+        t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+        beta = (t - 1) / t_new
+        x_new, z, res, rs = fused_fista_packed_step(
+            Ap, bp, x, z_prev, beta, gam, (gam * lam_p).astype(dtype),
+            done.astype(dtype), N=N, pack=pack, interpret=interpret,
+            restart=True,
+        )
+        phi = jnp.asarray((1 + jnp.sqrt(5.0)) / 2, t_new.dtype)
+        t_new = jnp.where(rs > 0, phi, t_new)
+        crit = res / gamma0_p
+        newly_done = crit <= tol
+        # stall/runaway safeguard + cold textbook restart — see the
+        # non-packed variant (_solve_lasso_batch_overrelaxed) for the
+        # measured rationale behind each trigger and the margins
+        improved = crit < best * 0.999
+        runaway = crit > best * 10.0
+        best = jnp.where((~done) & improved, crit, best)
+        since = jnp.where(done | improved, 0, since + 1)
+        stall = (~done) & ((since >= stall_patience) | runaway) & \
+            (gam > gamma0_p)
+        gam = jnp.where(stall, gamma0_p, gam)
+        t_new = jnp.where(stall, jnp.ones_like(t_new), t_new)
+        since = jnp.where(stall, 0, since)
+        stall_rows = expand_rows(stall.astype(dtype)) > 0
+        x_new = jnp.where(stall_rows, x0p, x_new)
+        z = jnp.where(stall_rows, x0p, z)
+        k = k + 1
+        iters = jnp.where(done, iters, k)
+        return (k, x_new, z, jnp.where(done, t, t_new),
+                done | newly_done, iters, gam, best, since)
+
+    out = jax.lax.while_loop(cond, body, init)
+    k, x, z, t, done, iters = out[:6]
     iters = jnp.where(done, iters, k)
     return z, iters, done

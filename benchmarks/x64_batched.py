@@ -15,6 +15,11 @@ The fused Pallas kernels are f32 by design (VPU-native); x64 runs take
 the pure-XLA paths (``use_kernels=False`` / the flat machines).
 
 Usage: python benchmarks/x64_batched.py [--quick]
+       python benchmarks/x64_batched.py --warm-tol-sweep
+           (the ADVICE-r4 artifact mode: records the warm_tol sweep behind
+           WarmStartedBatchedAlgorithm's 1.2e-5 default — cold reference
+           row + warm rows at warm_tol in {1e-4, 3e-5, 1.2e-5} for tol
+           1e-6 and 1e-8 on the flagship lam-path)
 """
 
 import json
@@ -57,10 +62,44 @@ def timed(tag, run, reps):
     return rec
 
 
+def warm_tol_sweep(reps):
+    """The sweep behind the warm_tol=1.2e-5 default (committed artifact
+    for the numbers cited in ``proxtpu/parallel/warm.py``): one shared
+    flagship lam-path, cold f64 reference + warm rows at three stage-1
+    tolerances, for final tol 1e-6 and 1e-8."""
+    rng = np.random.default_rng(0)
+    dt = np.float64
+    A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), dt)
+    b = jnp.asarray(rng.standard_normal(M), dt)
+    lam_max = float(np.max(np.abs(np.asarray(A).T @ np.asarray(b))))
+    lams = jnp.asarray(
+        lam_max * np.logspace(np.log10(0.02), np.log10(0.5), BATCH), dt
+    )
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    kw = dict(x0=jnp.zeros((BATCH, N), dt),
+              f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    for tol in (1e-6, 1e-8):
+        gen = BatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=20000, tol=tol,
+            use_kernels=False, check_every=8,
+        )
+        timed(f"sweep_cold_f64_tol{tol:g}", lambda: gen(**kw), reps)
+        for wt in (1e-4, 3e-5, 1.2e-5):
+            ws = WarmStartedBatchedAlgorithm(
+                make_fast_forward_backward_iteration, maxit=20000,
+                tol=tol, warm_tol=wt, use_kernels=False, check_every=8,
+            )
+            timed(f"sweep_warm_tol{tol:g}_wt{wt:g}", lambda: ws(**kw),
+                  reps)
+
+
 def main():
     reps = 2 if "--quick" in sys.argv else 3
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "x64": True}), flush=True)
+    if "--warm-tol-sweep" in sys.argv:
+        warm_tol_sweep(reps)
+        return
 
     # --- lasso lam-path, shared (A, b)
     rng = np.random.default_rng(0)

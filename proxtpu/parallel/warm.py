@@ -87,10 +87,11 @@ class WarmStartedBatchedAlgorithm:
     polishes.  The committed default-run record
     (``benchmarks/x64_batched.py``, ``results_x64_batched.jsonl``): warm
     1622/337 p/s vs cold f64 406/78 at tol 1e-6/1e-8, i.e. ~4.0-4.3x cold.
-    The ``warm_tol`` sweep behind the default (same session, BASELINE.md
-    round-4 precision-warm-starting section): 1e-4 -> 982/185 p/s,
-    3e-5 -> 1368/280, 1.2e-5 -> 1730/343 — monotone down to the noise
-    floor, hence the 1.2e-5 choice.  If
+    The ``warm_tol`` sweep behind the default (committed artifact rows
+    ``sweep_*`` in the same jsonl, from
+    ``x64_batched.py --warm-tol-sweep``): 1e-4 -> 1002/188 p/s, 3e-5 ->
+    1385/285, 1.2e-5 -> 1777/352 vs cold 424/79.5 — monotone down to the
+    noise floor, hence the 1.2e-5 choice.  If
     stage 1 stalls above ``warm_tol`` on a harder problem class (f32
     attainability is problem-dependent), it exits at ``warm_maxit`` and
     stage 2 still finishes the job — correctness never depends on the

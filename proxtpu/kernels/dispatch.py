@@ -536,7 +536,12 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
     on_tpu = _is_default_backend_tpu() if interpret is None else True
 
     if name == "make_fast_forward_backward_iteration":
-        from ..prox.functions import LeastSquares, LeastSquaresLoss, NormL1
+        from ..prox.functions import (
+            ElasticNet,
+            LeastSquares,
+            LeastSquaresLoss,
+            NormL1,
+        )
         from ..utils.shared import Shared
 
         # a Shared (lane-invariant) f is the regularization-path workload:
@@ -548,8 +553,17 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             g = g.value
         if not isinstance(f, (LeastSquares, LeastSquaresLoss)):
             return None
-        if not isinstance(g, NormL1):
+        # ElasticNet rides the same kernels: its combined prox is the soft
+        # threshold followed by a per-lane 1/(1+gamma*lam2) shrink (one
+        # extra scalar kernel operand; round 5)
+        if isinstance(g, ElasticNet):
+            g_l1, g_lam2 = g.mu, g.lam
+        elif isinstance(g, NormL1):
+            g_l1, g_lam2 = g.lam, None
+        else:
             return None
+        if g_lam2 is not None and mf is not None:
+            return None  # lam2+mf not validated; generic driver
         A, b = jnp.asarray(f.A), jnp.asarray(f.b)
         if A.ndim == 2 and b.ndim == 1:
             try:
@@ -564,7 +578,11 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             flam = np.asarray(getattr(f, "lam", 1.0))
             if not bool(np.all(flam == 1.0)):
                 return None
-            lam = _scalar_or_vec(g.lam, B, A.dtype)
+            lam = _scalar_or_vec(g_l1, B, A.dtype)
+            lam2 = (None if g_lam2 is None
+                    else _scalar_or_vec(g_lam2, B, A.dtype))
+            if g_lam2 is not None and lam2 is None:
+                return None  # unbroadcastable lam2: generic driver
             Lf, gamma = kwargs.get("Lf"), kwargs.get("gamma")
             if gamma is not None:
                 Lfs = jnp.asarray(gamma)
@@ -586,7 +604,7 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                 return None  # multirhs has no mf route yet
             return lambda: solve_lasso_multirhs(
                 A, b, lam, Lfs, tol, maxit=maxit, iter_block=K,
-                restart=restart, x0=x0_pass,
+                restart=restart, x0=x0_pass, lam2=lam2,
             )
 
         if A.ndim != 3 or b.ndim != 2 or A.shape[:1] != b.shape[:1]:
@@ -595,9 +613,13 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         flam = np.asarray(getattr(f, "lam", 1.0))
         if not bool(np.all(flam == 1.0)):
             return None
-        lam = _scalar_or_vec(g.lam, B, A.dtype)
+        lam = _scalar_or_vec(g_l1, B, A.dtype)
         if lam is None:
             return None
+        lam2 = (None if g_lam2 is None
+                else _scalar_or_vec(g_lam2, B, A.dtype))
+        if g_lam2 is not None and lam2 is None:
+            return None  # unbroadcastable lam2: generic driver
         Lf, gamma = kwargs.get("Lf"), kwargs.get("gamma")
         if gamma is not None:
             Lfv = _scalar_or_vec(gamma, B, A.dtype)
@@ -639,15 +661,15 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
 
         def run():
             if (on_tpu and interpret is not True and dma_bound
-                    and mf is None):
-                # (the blocked kernel has no mf route; mf falls through
-                # to the one-step kernel below)
+                    and mf is None and lam2 is None):
+                # (the blocked kernel has no mf/lam2 route; those fall
+                # through to the one-step kernel below)
                 z, it, done = solve_lasso_batch_blocked(
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
                     restart=restart, x0=x0_pass,
                 )
             elif (on_tpu and interpret is not True and not mxu_small
-                    and packable):
+                    and packable and lam2 is None):
                 z, it, done = solve_lasso_batch_packed(
                     A, b, lam, Lfv, tol, maxit=maxit, restart=restart,
                     x0=x0_pass, mf=mf,
@@ -655,17 +677,18 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             elif on_tpu and interpret is not True and not mxu_small:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
-                    restart=restart, x0=x0_pass, mf=mf,
+                    restart=restart, x0=x0_pass, mf=mf, lam2=lam2,
                 )
             elif interpret:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
                     interpret=True, restart=restart, x0=x0_pass, mf=mf,
+                    lam2=lam2,
                 )
             else:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=False,
-                    restart=restart, x0=x0_pass, mf=mf,
+                    restart=restart, x0=x0_pass, mf=mf, lam2=lam2,
                 )
             return z, it, done
 

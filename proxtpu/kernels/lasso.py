@@ -34,31 +34,54 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import auto_lanes
 
 
-def _fb_step_kernel(A_ref, b_ref, x_ref, gamma_ref, thr_ref, z_ref, res_ref):
-    # L lanes per grid step amortize the fixed per-step cost (grid overhead
-    # and pipeline bubbles) over L problems; the per-lane body is 2-D (the
-    # layout Mosaic handles best), unrolled statically over the L dim
-    L = A_ref.shape[0]
-    for l in range(L):
-        # A may be stored narrower than the iterate (bf16 warm-start stage:
-        # half the HBM stream); compute always runs at the iterate precision
-        A = A_ref[l].astype(x_ref.dtype)   # (M, N) in VMEM
-        x = x_ref[l]          # (1, N)
-        b = b_ref[l]          # (M, 1)
-        gamma = gamma_ref[l, 0, 0]
-        thr = thr_ref[l, 0, 0]
+def _fb_step_kernel(with_shrink=False):
+    """Kernel factory; ``with_shrink=True`` adds a per-lane multiplicative
+    prox epilogue ``z *= shr`` — the elastic-net combined prox
+    ``soft_threshold(y, gamma*mu) / (1 + gamma*lam2)`` with
+    ``shr = 1/(1 + gamma*lam2)`` precomputed by the caller.  A separate
+    program variant (not a runtime 1.0-multiply) so the lasso path's
+    compiled program — whose counts the parity tests pin — is untouched."""
 
-        r = jnp.sum(A * x, axis=1, keepdims=True) - b      # (M, 1) lane-reduce
-        grad = jnp.sum(A * r, axis=0, keepdims=True)       # (1, N) sublane-reduce
-        y = x - gamma * grad
-        absy = jnp.abs(y)
-        z = jnp.sign(y) * jnp.maximum(absy - thr, 0.0)
-        z_ref[l] = z
-        res_ref[l] = jnp.max(jnp.abs(x - z)).reshape(1, 1)
+    def kernel(A_ref, b_ref, x_ref, gamma_ref, thr_ref, *rest):
+        if with_shrink:
+            shr_ref, z_ref, res_ref = rest
+        else:
+            z_ref, res_ref = rest
+        # L lanes per grid step amortize the fixed per-step cost (grid
+        # overhead and pipeline bubbles) over L problems; the per-lane body
+        # is 2-D (the layout Mosaic handles best), unrolled statically over
+        # the L dim
+        L = A_ref.shape[0]
+        for l in range(L):
+            # A may be stored narrower than the iterate (bf16 warm-start
+            # stage: half the HBM stream); compute always runs at the
+            # iterate precision
+            A = A_ref[l].astype(x_ref.dtype)   # (M, N) in VMEM
+            x = x_ref[l]          # (1, N)
+            b = b_ref[l]          # (M, 1)
+            gamma = gamma_ref[l, 0, 0]
+            thr = thr_ref[l, 0, 0]
+
+            r = jnp.sum(A * x, axis=1, keepdims=True) - b   # (M, 1) lane-reduce
+            grad = jnp.sum(A * r, axis=0, keepdims=True)    # (1, N) sublane-reduce
+            y = x - gamma * grad
+            absy = jnp.abs(y)
+            z = jnp.sign(y) * jnp.maximum(absy - thr, 0.0)
+            if with_shrink:
+                # DIVIDE by (1 + gamma*lam2): bit-matches ElasticNet.prox
+                # (multiply-by-reciprocal differs in the last ULP, which
+                # moves threshold crossings ~tens of iterations on the
+                # elastic net's flat residual tail — measured)
+                z = z / shr_ref[l, 0, 0]
+            z_ref[l] = z
+            res_ref[l] = jnp.max(jnp.abs(x - z)).reshape(1, 1)
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("interpret", "lanes"))
-def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
+def fused_fb_prox_grad(A, b, x, gamma, thr, shrink=None, interpret=False,
+                       lanes=None):
     """One fused FB step for a batch of lasso problems.
 
     Args:
@@ -67,6 +90,10 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
       x: (B, N) current iterates.
       gamma: (B,) per-lane stepsizes.
       thr: (B,) per-lane soft-threshold levels (gamma * lam).
+      shrink: optional (B,) per-lane prox-epilogue DENOMINATOR
+        (elastic net: ``1 + gamma * lam2``; the kernel divides —
+        bit-matching ``ElasticNet.prox``); None = plain lasso program
+        (separate compiled variant, parity-pinned).
       interpret: run in interpreter mode (for CPU tests).
       lanes: problems per grid step (amortizes per-step overhead; VMEM use
         is ~2 * lanes * M * N * 4 bytes with double buffering).  Default:
@@ -85,27 +112,32 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
     x3 = x.reshape(B, 1, N)
     gamma2 = gamma.reshape(B, 1, 1).astype(dtype)
     thr2 = thr.reshape(B, 1, 1).astype(dtype)
+    with_shrink = shrink is not None
+    sspec = pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    operands = [A, b3, x3, gamma2, thr2]
+    in_specs = [
+        pl.BlockSpec((L, M, N), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, M, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 1, N), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        sspec,
+        sspec,
+    ]
+    if with_shrink:
+        operands.append(shrink.reshape(B, 1, 1).astype(dtype))
+        in_specs.append(sspec)
 
     z, res = pl.pallas_call(
-        _fb_step_kernel,
+        _fb_step_kernel(with_shrink=with_shrink),
         grid=(B // L,),
-        in_specs=[
-            pl.BlockSpec((L, M, N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, M, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((L, 1, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            sspec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, N), dtype),
@@ -117,11 +149,11 @@ def fused_fb_prox_grad(A, b, x, gamma, thr, interpret=False, lanes=None):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A, b3, x3, gamma2, thr2)
+    )(*operands)
     return z.reshape(B, N), res.reshape(B)
 
 
-def _fista_full_step_kernel(restart=False):
+def _fista_full_step_kernel(restart=False, with_shrink=False):
     """One complete FISTA iteration per lane: FB step + prox + Nesterov
     extrapolation + converged-lane freeze + residual read-out, all in VMEM.
 
@@ -142,7 +174,11 @@ def _fista_full_step_kernel(restart=False):
     carry from the emitted signal."""
 
     def kernel(A_ref, b_ref, x_ref, zp_ref, beta_ref, gamma_ref, thr_ref,
-               done_ref, xo_ref, zo_ref, res_ref, rs_ref):
+               done_ref, *rest):
+        if with_shrink:
+            shr_ref, xo_ref, zo_ref, res_ref, rs_ref = rest
+        else:
+            xo_ref, zo_ref, res_ref, rs_ref = rest
         L = A_ref.shape[0]
         for l in range(L):
             A = A_ref[l].astype(x_ref.dtype)  # (M, N); bf16-A casts up
@@ -158,6 +194,9 @@ def _fista_full_step_kernel(restart=False):
             grad = jnp.sum(A * r, axis=0, keepdims=True)
             y = x - gamma * grad
             z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr, 0.0)
+            if with_shrink:
+                # divide, not multiply-by-reciprocal (see _fb_step_kernel)
+                z = z / shr_ref[l, 0, 0]
             rs = jnp.sum((x - z) * (z - zp))
             if restart:
                 beta = jnp.where(rs > 0, jnp.zeros_like(beta), beta)
@@ -175,7 +214,8 @@ def _fista_full_step_kernel(restart=False):
 
 @partial(jax.jit, static_argnames=("interpret", "lanes", "restart"))
 def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
-                          interpret=False, lanes=None, restart=False):
+                          shrink=None, interpret=False, lanes=None,
+                          restart=False):
     """One full FISTA iteration for the batch (see the kernel docstring).
 
     ``x`` and ``z_prev`` are aliased to the outputs — inside a
@@ -195,14 +235,21 @@ def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
     vspec = lambda shape: pl.BlockSpec(
         (L,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    with_shrink = shrink is not None
+    operands = [A, b3, x3, zp3, s3(beta), s3(gamma), s3(thr),
+                s3(done_mask)]
+    in_specs = [
+        vspec((M, N)), vspec((M, 1)), vspec((1, N)), vspec((1, N)),
+        vspec((1, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
+    ]
+    if with_shrink:
+        operands.append(s3(shrink))
+        in_specs.append(vspec((1, 1)))
 
     xo, zo, res, rs = pl.pallas_call(
-        _fista_full_step_kernel(restart=restart),
+        _fista_full_step_kernel(restart=restart, with_shrink=with_shrink),
         grid=(B // L,),
-        in_specs=[
-            vspec((M, N)), vspec((M, 1)), vspec((1, N)), vspec((1, N)),
-            vspec((1, 1)), vspec((1, 1)), vspec((1, 1)), vspec((1, 1)),
-        ],
+        in_specs=in_specs,
         out_specs=[vspec((1, N)), vspec((1, N)), vspec((1, 1)),
                    vspec((1, 1))],
         out_shape=[
@@ -218,19 +265,23 @@ def fused_fista_full_step(A, b, x, z_prev, beta, gamma, thr, done_mask,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A, b3, x3, zp3, s3(beta), s3(gamma), s3(thr), s3(done_mask))
+    )(*operands)
     return (xo.reshape(B, N), zo.reshape(B, N), res.reshape(B),
             rs.reshape(B))
 
 
-def reference_fb_prox_grad(A, b, x, gamma, thr):
-    """Pure-XLA reference of the fused step (same math, two A reads)."""
+def reference_fb_prox_grad(A, b, x, gamma, thr, shrink=None):
+    """Pure-XLA reference of the fused step (same math, two A reads).
+    ``shrink`` (B,) is the optional elastic-net prox denominator
+    ``1 + gamma*lam2`` (divided, bit-matching ``ElasticNet.prox``)."""
     r = jnp.einsum("bmn,bn->bm", A, x,
                    precision=jax.lax.Precision.HIGHEST) - b
     grad = jnp.einsum("bmn,bm->bn", A, r,
                       precision=jax.lax.Precision.HIGHEST)
     y = x - gamma[:, None] * grad
     z = jnp.sign(y) * jnp.maximum(jnp.abs(y) - thr[:, None], 0.0)
+    if shrink is not None:
+        z = z / shrink[:, None]
     return z, jnp.max(jnp.abs(x - z), axis=1)
 
 
@@ -281,8 +332,21 @@ def _validate_step_mult(step_mult, restart, mf):
 def solve_lasso_batch(
     A, b, lam, Lf, tol, maxit=1000, use_kernel=True, interpret=False,
     restart=False, x0=None, mf=None, step_mult=1.0, stall_patience=100,
+    lam2=None,
 ):
-    """Batched FISTA lasso solver with the fused Pallas step.
+    """Batched FISTA lasso/elastic-net solver with the fused Pallas step.
+
+    ``lam2`` (scalar or (B,), optional) adds the ridge term
+    ``lam2/2 ||x||^2`` to the regularizer — the elastic net of the
+    reference's second problem family (`test_elasticnet.jl`).  Its
+    combined prox is the soft threshold followed by a per-lane
+    multiplicative shrink ``1/(1 + gamma*lam2)``, which rides the fused
+    kernel as one extra scalar operand (a separate compiled variant so
+    the lasso program is untouched).  ``Lf`` stays the least-squares
+    smoothness constant (the ridge enters through the prox).  Composes
+    with ``restart``; not supported with ``mf``/``step_mult`` (the
+    strongly-convex coefficient and over-relaxation analyses were only
+    validated for the pure-l1 prox).
 
     Per-lane convergence freezing matches
     :func:`proxtpu.parallel.batch.batched_run_loop` semantics: converged
@@ -336,9 +400,17 @@ def solve_lasso_batch(
     B, M, N = A.shape
     dtype = A.dtype
     _validate_step_mult(step_mult, restart, mf)
+    if lam2 is not None and (mf is not None or step_mult != 1.0):
+        raise ValueError(
+            "lam2 (elastic net) composes with restart only; the mf and "
+            "step_mult analyses were validated for the pure-l1 prox"
+        )
     gamma0 = (1.0 / Lf).astype(dtype)           # canonical 1/L (criterion)
     gamma = (step_mult / Lf).astype(dtype)      # step
     thr = (gamma * lam).astype(dtype)
+    shrink = None if lam2 is None else (
+        1.0 + gamma * jnp.broadcast_to(jnp.asarray(lam2, dtype), (B,))
+    ).astype(dtype)
     if mf is not None and restart:
         raise ValueError(
             "restart needs the t-recursion; mf>0 uses a constant "
@@ -358,7 +430,7 @@ def solve_lasso_batch(
 
     x0 = jnp.zeros((B, N), dtype) if x0 is None else \
         jnp.asarray(x0, dtype).reshape(B, N)
-    z0, res0 = step_fn(A, b, x0, gamma, thr)
+    z0, res0 = step_fn(A, b, x0, gamma, thr, shrink)
     # state: (k, x, z_prev, t, done, iters); the init FB step counts as
     # iteration 1.  The first extrapolation coefficient is beta = 0 (t=1),
     # so the next point is z0 itself: carry x = z0 with the t-sequence
@@ -389,14 +461,14 @@ def solve_lasso_batch(
 
     body = _make_fista_body(A, b, gamma, thr, tol, use_kernel=use_kernel,
                             interpret=interpret, restart=restart,
-                            beta_const=beta_const)
+                            beta_const=beta_const, shrink=shrink)
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
     return z, iters, done
 
 
 def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
-                     restart, beta_const=None):
+                     restart, beta_const=None, shrink=None):
     """The one-iteration while-loop body over the carry
     ``(k, x, z_prev, t, done, iters)`` — shared by :func:`solve_lasso_batch`
     and the compacting driver so the trajectories are bit-identical.
@@ -417,7 +489,7 @@ def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
                 beta = (t - 1) / t_new
             x_new, z, res, rs = fused_fista_full_step(
                 A, b, x, z_prev, beta, gamma, thr, done.astype(dtype),
-                interpret=interpret, restart=restart,
+                shrink, interpret=interpret, restart=restart,
             )
             if restart:
                 # immediate (paper) semantic, matching
@@ -438,7 +510,7 @@ def _make_fista_body(A, b, gamma, thr, tol, *, use_kernel, interpret,
             # FB step at the current extrapolated point, then Nesterov
             # extrapolation with the simple t-sequence (or the constant
             # strongly-convex coefficient)
-            z, res = reference_fb_prox_grad(A, b, x, gamma, thr)
+            z, res = reference_fb_prox_grad(A, b, x, gamma, thr, shrink)
             if restart:
                 # immediate restart: reset t BEFORE drawing the
                 # coefficient (= AdaptiveRestartSequence semantics)
@@ -855,7 +927,7 @@ def solve_lasso_batch_blocked(
 
 @partial(jax.jit, static_argnames=("maxit", "iter_block", "restart"))
 def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
-                         restart=False, x0=None):
+                         restart=False, x0=None, lam2=None):
     """Batched FISTA for many lasso instances sharing ONE design matrix:
 
         min_x  ||A x_i - b_i||^2 / 2 + lam_i ||x_i||_1,   i = 1..B
@@ -896,6 +968,13 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
     dtype = A.dtype
     gamma = (1.0 / jnp.asarray(Lf)).astype(dtype)  # scalar: shared A
     thr = jnp.broadcast_to((gamma * jnp.asarray(lam)).astype(dtype), (B,))
+    # optional elastic-net ridge: prox epilogue z / (1 + gamma*lam2) — XLA
+    # fuses the extra elementwise op into the matmul epilogue, so the
+    # shared-A MXU formulation covers the elastic net at lasso speed
+    # (divide, not multiply-by-reciprocal: bit-matches ElasticNet.prox)
+    shrink = None if lam2 is None else (
+        1.0 + gamma * jnp.broadcast_to(jnp.asarray(lam2, dtype), (B,))
+    ).astype(dtype)
     K = iter_block
 
     hi = jax.lax.Precision.HIGHEST
@@ -905,6 +984,8 @@ def solve_lasso_multirhs(A, Bmat, lam, Lf, tol, maxit=2000, iter_block=1,
         G = jnp.matmul(R, A, precision=hi)                   # (B, N)  MXU
         Y = X - gamma * G
         Z = jnp.sign(Y) * jnp.maximum(jnp.abs(Y) - thr[:, None], 0.0)
+        if shrink is not None:
+            Z = Z / shrink[:, None]
         return Z, jnp.max(jnp.abs(X - Z), axis=1)
 
     def fista_k(x, z_prev, t):
@@ -1334,6 +1415,7 @@ def fused_fista_packed_step(Ap, bp, x, z_prev, beta, gamma, thr,
 def solve_lasso_batch_packed(
     A, b, lam, Lf, tol, maxit=1000, interpret=False, restart=False,
     x0=None, pack=None, mf=None, step_mult=1.0, stall_patience=100,
+    lam2=None,
 ):
     """Batched FISTA with the zero-lane-padding packed kernel.
 
@@ -1364,6 +1446,13 @@ def solve_lasso_batch_packed(
             "extrapolation coefficient (restart would be a no-op)"
         )
     _validate_step_mult(step_mult, restart, mf)
+    if lam2 is not None:
+        # the packed kernel has no shrink operand (yet); the elastic net
+        # rides the natural-layout fused kernel instead
+        return solve_lasso_batch(
+            A, b, lam, Lf, tol, maxit=maxit, use_kernel=True,
+            interpret=interpret, restart=restart, x0=x0, lam2=lam2,
+        )
     if pack is None:
         pack = _pack_count(N, B)
     if pack == 1:

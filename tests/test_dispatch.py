@@ -391,3 +391,44 @@ def test_strongly_convex_mf_routes_to_kernel():
     assert match_kernel_solver(
         make_fast_forward_backward_iteration, kw_vec, tol=TOL, maxit=4000
     ) is None
+
+
+def test_elastic_net_routes_to_kernel(lasso):
+    """ElasticNet g rides the lasso kernel route (round 5): lam=mu maps
+    to the soft threshold, lam2 to the divide-epilogue; solutions agree
+    with the generic driver and the matcher recognizes the shape."""
+    from proxtpu.kernels.dispatch import match_kernel_solver
+    from proxtpu.prox import ElasticNet
+
+    A, b, lam, Lf = lasso
+    rng = np.random.default_rng(9)
+    lam2 = jnp.asarray(0.05 + 0.1 * rng.random(B), jnp.float32)
+    kw = dict(x0=jnp.zeros((B, N), jnp.float32),
+              f=LeastSquaresLoss(A, b),
+              g=ElasticNet(mu=lam, lam=lam2), Lf=Lf)
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=3000
+    ) is not None
+
+    fast = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=3000, tol=TOL)
+    xs_f, it_f, d_f = fast(**kw)
+    slow = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                            maxit=3000, tol=TOL, use_kernels=False)
+    xs_s, it_s, d_s = slow(**kw)
+    assert bool(jnp.all(d_f)) and bool(jnp.all(d_s))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
+                               atol=1e-4)
+    # shared-A shorthand routes to multirhs with lam2
+    kw2 = dict(kw, f=LeastSquaresLoss(A[0], b), Lf=float(Lf[0]))
+    assert match_kernel_solver(
+        make_fast_forward_backward_iteration, kw2, tol=TOL, maxit=3000
+    ) is not None
+    xs_m, it_m, d_m = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL)(**kw2)
+    xs_g, it_g, d_g = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=3000, tol=TOL,
+        use_kernels=False)(**kw2)
+    assert bool(jnp.all(d_m)) and bool(jnp.all(d_g))
+    np.testing.assert_allclose(np.asarray(xs_m), np.asarray(xs_g),
+                               atol=1e-4)

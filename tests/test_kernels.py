@@ -679,3 +679,84 @@ def test_step_mult_one_is_bitexact_default():
                                     step_mult=1.0)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(it1), np.asarray(it2))
+
+
+def _en_problems(B_=6, M_=40, N_=160, seed=0):
+    A, b, lam1, Lf = _lasso_problems(B_, M_, N_, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    lam2 = jnp.asarray(0.05 + 0.1 * rng.random(B_), jnp.float32)
+    return A, b, lam1, lam2, Lf
+
+
+def test_elastic_net_kernel_matches_generic_driver():
+    """The lam2 (elastic net) route: soft threshold + per-lane
+    1/(1+gamma*lam2) shrink rides the fused kernel; counts/solutions
+    match the generic FISTA driver with the combined ElasticNet prox
+    (the XLA route near-exactly; kernel within f32 tail knife edges —
+    elastic-net residuals plateau near the threshold, so reduction-order
+    noise moves the crossing by more than lasso's +-1)."""
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+    from proxtpu.parallel import BatchedAlgorithm
+    from proxtpu.prox import ElasticNet, LeastSquaresLoss
+
+    A, b, lam1, lam2, Lf = _en_problems()
+    B_, N_ = A.shape[0], A.shape[2]
+    tol = 1e-5
+    gen = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                           maxit=3000, tol=tol, use_kernels=False)
+    xs_g, it_g, d_g = gen(x0=jnp.zeros((B_, N_), jnp.float32),
+                          f=LeastSquaresLoss(A, b),
+                          g=ElasticNet(mu=lam1, lam=lam2), Lf=Lf)
+    assert bool(jnp.all(d_g))
+    for kw, it_slack in ((dict(use_kernel=False), 3),
+                         (dict(use_kernel=True, interpret=True), 30)):
+        z, it, d = solve_lasso_batch(A, b, lam1, Lf, tol, maxit=3000,
+                                     lam2=lam2, **kw)
+        assert bool(jnp.all(d))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(xs_g),
+                                   atol=1e-3)
+        assert int(np.max(np.abs(np.asarray(it) - np.asarray(it_g)))) \
+            <= it_slack
+
+
+def test_elastic_net_multirhs_and_restart():
+    """Shared-A elastic net rides the MXU multirhs formulation; restart
+    composes with lam2 (measured ~3x count cut on this set)."""
+    from proxtpu.algorithms import make_fast_forward_backward_iteration
+    from proxtpu.kernels.lasso import solve_lasso_multirhs
+    from proxtpu.parallel import BatchedAlgorithm
+    from proxtpu.prox import ElasticNet, LeastSquaresLoss
+
+    A, b, lam1, lam2, Lf = _en_problems()
+    B_, N_ = A.shape[0], A.shape[2]
+    tol = 1e-5
+    A1, Lf1 = A[0], float(Lf[0])
+    z_m, it_m, d_m = solve_lasso_multirhs(A1, b, lam1, Lf1, tol,
+                                          maxit=3000, lam2=lam2)
+    gen = BatchedAlgorithm(make_fast_forward_backward_iteration,
+                           maxit=3000, tol=tol, use_kernels=False)
+    xs_g, it_g, d_g = gen(x0=jnp.zeros((B_, N_), jnp.float32),
+                          f=LeastSquaresLoss(A1, b),
+                          g=ElasticNet(mu=lam1, lam=lam2), Lf=Lf1)
+    assert bool(jnp.all(d_m)) and bool(jnp.all(d_g))
+    np.testing.assert_allclose(np.asarray(z_m), np.asarray(xs_g),
+                               atol=1e-3)
+    # restart on the lam2 kernel route
+    z_r, it_r, d_r = solve_lasso_batch(A, b, lam1, Lf, tol, maxit=3000,
+                                       lam2=lam2, restart=True,
+                                       use_kernel=True, interpret=True)
+    assert bool(jnp.all(d_r))
+    z_p, it_p, d_p = solve_lasso_batch(A, b, lam1, Lf, tol, maxit=3000,
+                                       lam2=lam2, use_kernel=True,
+                                       interpret=True)
+    assert float(jnp.mean(it_r)) < 0.6 * float(jnp.mean(it_p))
+    np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_p), atol=1e-3)
+
+
+def test_elastic_net_lam2_validation():
+    A, b, lam1, lam2, Lf = _en_problems(4, 16, 128)
+    with pytest.raises(ValueError, match="lam2"):
+        solve_lasso_batch(A, b, lam1, Lf, 1e-5, lam2=lam2, mf=0.5)
+    with pytest.raises(ValueError, match="lam2"):
+        solve_lasso_batch(A, b, lam1, Lf, 1e-5, lam2=lam2, restart=True,
+                          step_mult=1.5)

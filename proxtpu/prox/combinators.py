@@ -206,3 +206,138 @@ class MoreauEnvelope:
         d = tree_sub(x, z)
         val = f_z + tree_vdot_real(d, d) / (2 * self.gamma)
         return val, tree_scale(1 / self.gamma, d)
+
+
+@proxclass
+class Tilt:
+    """g(x) = f(x) + Re<a, x> + b (``ProximalOperators.Tilt``): a linear
+    tilt of any proxable/smooth f.  The prox shifts the argument:
+
+        prox_{gamma g}(x) = prox_{gamma f}(x - gamma * a)
+
+    ``a`` matches the iterate's pytree structure (or broadcasts leafwise).
+    The canonical use here is graphical lasso, where the smooth-free
+    splitting needs prox of tr(S X) - mu*logdet(X) = Tilt(NegLogDet(mu), S)
+    (see ``examples/graphical_lasso.py``).
+    """
+
+    f: object
+    a: object
+    b: object = 0.0
+
+    @property
+    def is_convex(self):
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def _lin(self, z):
+        return tree_vdot_real(self.a, z) + self.b
+
+    def __call__(self, x):
+        return self.f(x) + self._lin(x)
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        v, g = value_and_gradient(self.f, x)
+        return v + self._lin(x), tree_map(
+            lambda gl, al: gl + jnp.asarray(al, gl.dtype), g, self.a
+        )
+
+    def prox(self, x, gamma):
+        y = tree_map(lambda xl, al: xl - gamma * jnp.asarray(al, xl.dtype),
+                     x, self.a)
+        z, f_z = self.f.prox(y, gamma)
+        return z, f_z + self._lin(z)
+
+
+@proxclass
+class Regularize:
+    """g(x) = f(x) + (rho/2) ||x - a||^2 (``ProximalOperators.Regularize``).
+    The prox reduces to f's through the standard scaling identity:
+
+        prox_{gamma g}(x) = prox_{gamma' f}( (x + gamma*rho*a) / (1 + gamma*rho) ),
+        gamma' = gamma / (1 + gamma*rho)
+    """
+
+    f: object
+    rho: object = 1.0
+    a: object = 0.0
+
+    @property
+    def is_convex(self):
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def _quad(self, z):
+        d = tree_map(lambda zl: zl - jnp.asarray(self.a, zl.dtype), z)
+        return (self.rho / 2) * tree_vdot_real(d, d)
+
+    def __call__(self, x):
+        return self.f(x) + self._quad(x)
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        v, g = value_and_gradient(self.f, x)
+        grad = tree_map(
+            lambda gl, xl: gl + self.rho * (xl - jnp.asarray(self.a, xl.dtype)),
+            g, x,
+        )
+        return v + self._quad(x), grad
+
+    def prox(self, x, gamma):
+        den = 1 + gamma * self.rho
+        y = tree_map(
+            lambda xl: (xl + gamma * self.rho * jnp.asarray(self.a, xl.dtype))
+            / den,
+            x,
+        )
+        z, f_z = self.f.prox(y, gamma / den)
+        return z, f_z + self._quad(z)
+
+
+@proxclass(meta_fields=())
+class PointwiseMinimum:
+    """g(x) = min_i f_i(x) (``ProximalOperators.PointwiseMinimum``) — e.g.
+    a union-of-sets indicator.  Nonconvex in general.  The prox picks, among
+    the candidate proxes z_i = prox_{gamma f_i}(x), the one minimizing the
+    proximal objective f_i(z_i) + ||z_i - x||^2 / (2 gamma); ties resolve to
+    the earliest f_i (jnp.where semantics), deterministically under jit."""
+
+    fs: tuple
+
+    is_convex = False
+
+    @property
+    def is_generalized_quadratic(self):
+        return False
+
+    def __call__(self, x):
+        vals = [f(x) for f in self.fs]
+        out = vals[0]
+        for v in vals[1:]:
+            out = jnp.minimum(out, v)
+        return out
+
+    def prox(self, x, gamma):
+        best_z, best_v = self.fs[0].prox(x, gamma)
+        d = tree_sub(best_z, x)
+        best_obj = best_v + tree_vdot_real(d, d) / (2 * gamma)
+        for f in self.fs[1:]:
+            z, v = f.prox(x, gamma)
+            d = tree_sub(z, x)
+            obj = v + tree_vdot_real(d, d) / (2 * gamma)
+            take = obj < best_obj
+            best_z = tree_map(
+                lambda zl, bl: jnp.where(take, zl, bl), z, best_z
+            )
+            best_v = jnp.where(take, v, best_v)
+            best_obj = jnp.minimum(obj, best_obj)
+        return best_z, best_v

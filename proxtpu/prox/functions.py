@@ -50,7 +50,12 @@ def _soft_threshold(x, thr):
 
 @proxclass
 class NormL1:
-    """f(x) = lam * ||x||_1 (complex-safe; prox is soft-thresholding)."""
+    """f(x) = lam * ||x||_1 (complex-safe; prox is soft-thresholding).
+
+    ``lam`` may be a nonnegative ARRAY broadcasting against the (single-leaf)
+    iterate — the weighted l1 norm sum_i lam_i |x_i| with elementwise
+    thresholds, as in ``ProximalOperators.NormL1(lambda::Array)``; e.g. the
+    off-diagonal-only penalty of graphical lasso uses lam * (1 - I)."""
 
     lam: object = 1.0
 
@@ -60,6 +65,9 @@ class NormL1:
     def __call__(self, x):
         leaves = jax.tree.leaves(x)
         lam = _rparam(self.lam, x)
+        if getattr(lam, "ndim", 0):
+            (leaf,) = leaves
+            return jnp.sum(lam * jnp.abs(leaf))
         return lam * sum(jnp.sum(jnp.abs(l)) for l in leaves)
 
     def prox(self, x, gamma):
@@ -1182,3 +1190,149 @@ def Maximum(lam=1.0):
     """f(x) = lam * max(x) (``ProximalOperators.Maximum``) — the k=1 case
     of :class:`SumLargest`."""
     return SumLargest(1, lam)
+
+
+@proxclass
+class NegLogDet:
+    """f(X) = -mu * logdet(X) on symmetric positive-definite 2-D leaves
+    (+inf outside the PD cone) — the barrier term of graphical lasso /
+    sparse inverse covariance (the reference's ecosystem ships it as
+    ``ProximalOperators.LogBarrier`` on matrices; here it is its own class
+    so the eigendecomposition prox is explicit).
+
+    The prox diagonalizes the symmetrized input (on-device ``eigh``) and
+    solves the scalar problem per eigenvalue:
+
+        min_z -mu*log z + (z - w)^2 / (2 gamma)
+        =>  z = (w + sqrt(w^2 + 4 gamma mu)) / 2   (always > 0)
+
+    so ``prox_{gamma f}`` maps ANY symmetric matrix into the PD cone.
+    """
+
+    mu: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, X):
+        w = jnp.linalg.eigvalsh((X + X.T.conj()) / 2)
+        R = real_dtype_of(X)
+        mu = _rparam(self.mu, X)
+        safe = jnp.maximum(w, jnp.finfo(R).tiny)
+        val = -mu * jnp.sum(jnp.log(safe))
+        return jnp.where(jnp.min(w) > 0, val, jnp.asarray(jnp.inf, R))
+
+    def prox(self, X, gamma):
+        w, V = jnp.linalg.eigh((X + X.T.conj()) / 2)
+        mu = _rparam(self.mu, X)
+        gamma = _rparam(gamma, X)
+        z = (w + jnp.sqrt(w * w + 4 * gamma * mu)) / 2
+        Z = pdot(V * z[None, :].astype(V.dtype), V.T.conj())
+        return Z, -mu * jnp.sum(jnp.log(z))
+
+
+@proxclass
+class CubeNormL2:
+    """f(x) = lam * ||x||_2^3 (``ProximalOperators.CubeNormL2``).  The prox
+    is a radial shrink: with r = ||x||_2, the minimizer z = (s/r) x where
+    s >= 0 solves 3*lam*gamma*s^2 + s - r = 0, i.e.
+
+        s = (-1 + sqrt(1 + 12 lam gamma r)) / (6 lam gamma)
+
+    (s -> r as lam*gamma -> 0; the formula below is algebraically
+    rearranged to its catastrophic-cancellation-free form
+    s = 2r / (1 + sqrt(1 + 12 lam gamma r)), exact at lam*gamma = 0)."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        r = jnp.sqrt(tree_vdot_real(x, x))
+        return lam * r**3
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        gamma = _rparam(gamma, leaf)
+        r = jnp.sqrt(tree_vdot_real(x, x))
+        s = 2 * r / (1 + jnp.sqrt(1 + 12 * lam * gamma * r))
+        scale = jnp.where(r == 0, 0.0, s / jnp.where(r == 0, 1.0, r))
+        z = tree_map(lambda l: l * scale.astype(l.dtype), x)
+        return z, lam * s**3
+
+
+@proxclass
+class IndBinary:
+    """Indicator of {low, high}^n (componentwise two-point set,
+    ``ProximalOperators.IndBinary``).  Nonconvex; the prox snaps each entry
+    to the nearer of the two values (ties go to ``low``, matching
+    round-half-down determinism under jit)."""
+
+    low: object = 0.0
+    high: object = 1.0
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        lo = _rparam(self.low, leaf)
+        hi = _rparam(self.high, leaf)
+        ok = jnp.all((leaf == lo) | (leaf == hi))
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        def snap(l):
+            lo = _rparam(self.low, l).astype(l.dtype)
+            hi = _rparam(self.high, l).astype(l.dtype)
+            return jnp.where(jnp.abs(l - hi) < jnp.abs(l - lo), hi, lo)
+
+        z = tree_map(snap, x)
+        return z, _rzero(jax.tree.leaves(x)[0])
+
+
+@proxclass
+class IndStiefel:
+    """Indicator of the Stiefel manifold {X : X^H X = I} (2-D leaf, n >= p).
+    Nonconvex; the prox (nearest-point projection in Frobenius norm) is the
+    polar factor U @ Vh from the thin SVD (``ProximalOperators.IndStiefel``).
+    Rank-deficient inputs project to A valid point (the SVD's choice of
+    null directions), as in the reference."""
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, X):
+        R = real_dtype_of(X)
+        G = pdot(X.T.conj(), X)
+        eye = jnp.eye(G.shape[0], dtype=G.dtype)
+        eps = jnp.finfo(R).eps
+        ok = jnp.max(jnp.abs(G - eye)) <= 100 * eps * max(1, X.shape[0])
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, X, gamma):
+        U, _, Vh = jnp.linalg.svd(X, full_matrices=False)
+        return pdot(U, Vh), _rzero(X)
+
+
+@proxclass
+class CrossEntropy:
+    """f(x) = -(1/n) sum_i [ b_i log(x_i) + (1 - b_i) log(1 - x_i) ] for
+    x in (0,1)^n and labels b in [0,1]^n (``ProximalOperators.CrossEntropy``).
+    Smooth on its open domain — used as the f term with AD supplying the
+    gradient; there is no closed-form prox."""
+
+    b: object
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        b = jnp.asarray(self.b, real_dtype_of(leaf))
+        return -jnp.mean(b * jnp.log(leaf) + (1 - b) * jnp.log1p(-leaf))

@@ -145,6 +145,30 @@ def test_robust_pca_example():
     assert out["iterations"] < 5000
 
 
+def test_graphical_lasso_example():
+    """Graphical lasso via DR on the NegLogDet/Tilt/weighted-NormL1
+    stack: KKT certificate holds at every block, the iterate is PD, and
+    the lam path has zero false-positive edges on the exact-covariance
+    problem."""
+    import importlib.util
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "graphical_lasso.py")
+    spec = importlib.util.spec_from_file_location("glasso_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["iterations"] < 3000
+    assert out["kkt_diag"] < 1e-6 and out["kkt_nz"] < 1e-6
+    assert out["kkt_zero_bound_ok"]
+    assert out["min_eig"] > 0
+    assert all(fp == 0 for _, _, _, fp in out["path"])
+    # the path actually sweeps sparsity: densest > sparsest
+    assert out["path"][0][1] > out["path"][-1][1] >= 0
+
+
 def test_phase_retrieval_example():
     """Complex nonconvex phase retrieval: adaptive ZeroFPR recovers the
     signal (up to global phase) from a spectral init in far fewer

@@ -22,7 +22,13 @@ import numpy as np
 import pytest
 
 from proxtpu.prox import (
+    CubeNormL2,
     ElasticNet,
+    IndBinary,
+    IndPoint,
+    PointwiseMinimum,
+    Regularize,
+    Tilt,
     make_least_squares,
     HingeLoss,
     HuberLoss,
@@ -89,6 +95,14 @@ def _functions(rng):
         IndBallL0(4),  # nonconvex: optimality-among-perturbations only
         IndCappedSimplex(3),
         SumLargest(2, 0.6),
+        CubeNormL2(0.5),
+        NormL1(jnp.abs(a) * 0.3),  # weighted l1 (array lam)
+        Tilt(NormL1(0.4), a * 0.3, 0.1),
+        Regularize(NormL1(0.3), 0.8, a * 0.2),
+        IndBinary(-0.5, 1.0),  # nonconvex: optimality-among-perturbations only
+        PointwiseMinimum(  # nonconvex (union of two points)
+            (IndPoint(a * 0.1), IndPoint(-a * 0.1))
+        ),
     ]
 
 

@@ -68,3 +68,6 @@ bench-warm-single:
 
 bench-matrix-completion:
     python benchmarks/matrix_completion_bench.py
+
+bench-glasso:
+    python benchmarks/glasso_bench.py

@@ -20,8 +20,14 @@ import proxtpu.algorithms as algorithms  # noqa: E402
 import proxtpu.kernels as kernels  # noqa: E402
 import proxtpu.ops as ops  # noqa: E402
 import proxtpu.parallel as parallel  # noqa: E402
-import proxtpu.prox as prox  # noqa: E402
+import proxtpu.prox  # noqa: E402,F401
 import proxtpu.utils as utils  # noqa: E402
+
+# NOTE: ``import proxtpu.prox as prox`` would bind the top-level ``prox``
+# FUNCTION (the oracle re-exported by proxtpu/__init__.py shadows the
+# submodule attribute), silently dropping the whole prox library from the
+# generated reference — resolve the module through sys.modules instead.
+prox = sys.modules["proxtpu.prox"]
 
 HEADER = """# API reference
 

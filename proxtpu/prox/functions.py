@@ -1336,3 +1336,195 @@ class CrossEntropy:
         (leaf,) = jax.tree.leaves(x)
         b = jnp.asarray(self.b, real_dtype_of(leaf))
         return -jnp.mean(b * jnp.log(leaf) + (1 - b) * jnp.log1p(-leaf))
+
+
+def _expcone_project(v):
+    """Euclidean projection of one 3-vector onto the exponential cone
+
+        K = cl{(x, y, z) : y > 0,  y * exp(x/y) <= z}.
+
+    Candidate-selection scheme (branchless, jit/vmap-safe): generate every
+    candidate the KKT case analysis can produce, mask the infeasible ones,
+    return the closest —
+
+    * ``v`` itself (covers v in K),
+    * ``0`` (covers v in the polar cone),
+    * the 2-D face ``(min(x,0), 0, max(z,0))`` and its numerical-underflow
+      neighbour ``(min(x,0), max(y,0), max(z,0))`` (exact once y*exp(x/y)
+      underflows — the alpha -> -inf limit of the boundary system),
+    * up to 4 roots of the curved-boundary KKT system: with
+      alpha = x/y, E = exp(alpha), the stationarity conditions reduce to
+      mu(alpha) = (v1 - alpha v2) / (E (1 - alpha + alpha^2)) and the
+      scalar equation h(alpha) = (v2 - mu E (1-alpha)) E - mu - v3 = 0,
+      bracketed on a 513-point grid over [-40, 40] and bisected 90 steps
+      (exp(+-40) already drives the complementary terms below roundoff,
+      so the grid bounds are not a practical restriction).
+
+    Accuracy is that of the input dtype; use float64 (x64) when the
+    certificate matters.  Validated against scipy SLSQP and the full
+    KKT/Moreau certificate battery in ``tests/test_expcone.py``.
+    """
+    dtype = v.dtype
+    big = jnp.log(jnp.finfo(dtype).max) * 0.98
+
+    def exp_safe(a):
+        return jnp.exp(jnp.clip(a, -big, big))
+
+    v1, v2, v3 = v[0], v[1], v[2]
+
+    def h_and_mu(a):
+        E = exp_safe(a)
+        mu = (v1 - a * v2) / (E * (1 - a + a * a))
+        return (v2 - mu * E * (1 - a)) * E - mu - v3, mu, E
+
+    grid = jnp.linspace(jnp.asarray(-40.0, dtype), jnp.asarray(40.0, dtype),
+                        513)
+    vals = jax.vmap(lambda a: h_and_mu(a)[0])(grid)
+    flip = vals[:-1] * vals[1:] <= 0
+    idx = jnp.flatnonzero(flip, size=4, fill_value=0)
+    lo, hi = grid[idx], grid[idx + 1]
+    f_lo = jax.vmap(lambda a: h_and_mu(a)[0])(lo)
+
+    def bisect(_, c):
+        lo, hi, f_lo = c
+        mid = (lo + hi) / 2
+        f_mid = jax.vmap(lambda a: h_and_mu(a)[0])(mid)
+        keep_lo = f_lo * f_mid <= 0
+        return (jnp.where(keep_lo, lo, mid), jnp.where(keep_lo, mid, hi),
+                jnp.where(keep_lo, f_lo, f_mid))
+
+    lo, hi, _ = jax.lax.fori_loop(0, 90, bisect, (lo, hi, f_lo))
+    a = (lo + hi) / 2
+    _, mu, E = jax.vmap(h_and_mu)(a)
+    rx = v1 - mu * E
+    ry = v2 - mu * E * (1 - a)
+    # each bracket yields TWO candidate reconstructions of the third
+    # coordinate: the KKT value v3 + mu (exact distance, but it can sit
+    # O(100 eps |v|) on the infeasible side of the boundary through the
+    # cancellation in mu) and the boundary-forced value y*exp(x/y)
+    # (feasible by construction, but distorted by e^alpha roundoff
+    # amplification when alpha is large).  Whichever is feasible and
+    # closer survives the selection below; y <= 0 roots are garbage and
+    # stay gated out either way.
+    rz_kkt = v3 + mu
+    rz_forced = jnp.where(ry > 0,
+                          ry * exp_safe(rx / jnp.where(ry > 0, ry, 1.0)),
+                          rz_kkt)
+    roots = jnp.concatenate([
+        jnp.stack([rx, ry, rz_kkt], axis=-1),
+        jnp.stack([rx, ry, rz_forced], axis=-1),
+    ])  # (8, 3)
+
+    zero = jnp.zeros((), dtype)
+    cands = jnp.concatenate([
+        v[None, :],
+        jnp.zeros((1, 3), dtype),
+        jnp.stack([jnp.minimum(v1, zero), zero,
+                   jnp.maximum(v3, zero)])[None, :],
+        jnp.stack([jnp.minimum(v1, zero), jnp.maximum(v2, zero),
+                   jnp.maximum(v3, zero)])[None, :],
+        roots,
+    ])  # (12, 3)
+
+    # feasibility: y >= 0 and the K-membership violation below roundoff
+    eps = jnp.finfo(dtype).eps
+    scale = 1 + jnp.linalg.norm(v)
+    tol = 100 * eps * scale
+    cy = cands[:, 1]
+    viol_pos = jnp.maximum(
+        jnp.where(cy > 0, cy, 1.0)
+        * exp_safe(cands[:, 0] / jnp.where(cy > 0, cy, 1.0))
+        - cands[:, 2],
+        0.0,
+    )
+    viol = jnp.where(
+        cy > 0,
+        viol_pos,
+        jnp.maximum(jnp.maximum(cands[:, 0], -cands[:, 2]), -cy),
+    )
+    feasible = (viol <= tol) & (cy >= -tol)
+    # valid curved-boundary KKT points need multiplier mu >= 0: a mu < 0
+    # root is a spurious stationary point of the reduced system that can
+    # sit feasible and epsilon-closer than the true candidate (observed
+    # near the z-axis vertex) — gate it out
+    feasible = feasible & jnp.concatenate(
+        [jnp.ones(4, bool), mu >= 0, mu >= 0]
+    )
+    dist = jnp.linalg.norm(cands - v[None, :], axis=-1)
+    dist = jnp.where(feasible, dist, jnp.inf)
+    best = jnp.argmin(dist)
+    z = cands[best]
+    # clamp the face coordinates exactly
+    return jnp.stack([z[0], jnp.maximum(z[1], zero), z[2]])
+
+
+@proxclass
+class IndExpPrimal:
+    """Indicator of the (primal) exponential cone
+    K = cl{(x,y,z) : y > 0, y*exp(x/y) <= z} (``ProximalOperators.
+    IndExpPrimal``).  The iterate's single leaf must have trailing
+    dimension 3; leading dimensions are vectorized.  The projection is the
+    candidate-selection scheme of :func:`_expcone_project` (no closed
+    form exists; the curved-boundary case is a bracketed 1-D root find,
+    cf. Friberg's univariate reduction).  Convex."""
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def _viol(self, leaf):
+        dtype = leaf.dtype
+        big = jnp.log(jnp.finfo(dtype).max) * 0.98
+        x, y, z = leaf[..., 0], leaf[..., 1], leaf[..., 2]
+        ypos = y > 0
+        ysafe = jnp.where(ypos, y, 1.0)
+        vpos = jnp.maximum(
+            ysafe * jnp.exp(jnp.clip(x / ysafe, -big, big)) - z, 0.0
+        )
+        vface = jnp.maximum(jnp.maximum(x, -z), -y)
+        return jnp.where(ypos, vpos, vface)
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        eps = jnp.finfo(R).eps
+        scale = 1 + jnp.max(jnp.abs(leaf))
+        ok = jnp.max(self._viol(leaf)) <= 100 * eps * scale
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        flat = leaf.reshape(-1, 3)
+        out = jax.vmap(_expcone_project)(flat).reshape(leaf.shape)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [out])
+        return zt, _rzero(leaf)
+
+
+@proxclass
+class IndExpDual:
+    """Indicator of the dual exponential cone
+    K* = cl{(u,v,w) : u < 0, -u*exp(v/u) <= e*w} (``ProximalOperators.
+    IndExpDual``).  Projection via the Moreau identity
+    P_{K*}(x) = x + P_K(-x) — one primal-cone projection, no separate
+    root find.  Trailing dimension 3; convex."""
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        R = real_dtype_of(leaf)
+        # x in K* iff the Moreau complement P_K(-x) equals -x + 0 shift,
+        # i.e. the projection of x onto K* is x itself
+        flat = leaf.reshape(-1, 3)
+        proj = flat + jax.vmap(_expcone_project)(-flat)
+        eps = jnp.finfo(R).eps
+        scale = 1 + jnp.max(jnp.abs(leaf))
+        ok = jnp.max(jnp.abs(proj - flat)) <= 100 * jnp.sqrt(eps) * scale
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        flat = leaf.reshape(-1, 3)
+        out = (flat + jax.vmap(_expcone_project)(-flat)).reshape(leaf.shape)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [out])
+        return zt, _rzero(leaf)

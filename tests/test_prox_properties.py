@@ -25,6 +25,8 @@ from proxtpu.prox import (
     CubeNormL2,
     ElasticNet,
     IndBinary,
+    IndExpDual,
+    IndExpPrimal,
     IndPoint,
     PointwiseMinimum,
     Regularize,
@@ -99,6 +101,8 @@ def _functions(rng):
         NormL1(jnp.abs(a) * 0.3),  # weighted l1 (array lam)
         Tilt(NormL1(0.4), a * 0.3, 0.1),
         Regularize(NormL1(0.3), 0.8, a * 0.2),
+        IndExpPrimal(),  # trailing dim 3: the (12,) iterate splits into 4 cones
+        IndExpDual(),
         IndBinary(-0.5, 1.0),  # nonconvex: optimality-among-perturbations only
         PointwiseMinimum(  # nonconvex (union of two points)
             (IndPoint(a * 0.1), IndPoint(-a * 0.1))

@@ -1528,3 +1528,131 @@ class IndExpDual:
         out = (flat + jax.vmap(_expcone_project)(-flat)).reshape(leaf.shape)
         zt = jax.tree.unflatten(jax.tree.structure(x), [out])
         return zt, _rzero(leaf)
+
+
+@proxclass
+class IndGraph:
+    """Indicator of the graph of a linear map, {(x, y) : y = A x}
+    (``ProximalOperators.IndGraph``).  The iterate is a TUPLE (x, y) with
+    x of size n and y of size m.  The projection solves the normal
+    equations
+
+        u = (I + A^H A)^{-1} (x + A^H y),    v = A u
+
+    with a Cholesky factorization of I + A^H A computed once at
+    construction (the same caching ProximalOperators does); ``prox`` is
+    then two triangular solves + two matvecs per call.  Convex (affine
+    subspace); generalized-quadratic (its indicator is 0 on an affine
+    set), so line-search algorithms may take their quadratic shortcut."""
+
+    A: object
+    chol: object = None
+
+    is_convex = True
+    is_generalized_quadratic = True
+
+    def __post_init__(self):
+        if self.chol is None:
+            A = jnp.asarray(self.A)
+            n = A.shape[1]
+            G = jnp.eye(n, dtype=A.dtype) + pdot(A.T.conj(), A)
+            object.__setattr__(
+                self, "chol", jax.scipy.linalg.cho_factor(G)[0]
+            )
+
+    def __call__(self, xy):
+        x, y = xy
+        A = jnp.asarray(self.A)
+        r = tree_inf_norm(tree_sub((pmatvec(A, x),), (y,)))
+        R = real_dtype_of(x)
+        eps = jnp.finfo(R).eps
+        scale = 1 + tree_inf_norm((x, y))
+        return jnp.where(r <= 100 * eps * scale * A.shape[1],
+                         jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, xy, gamma):
+        x, y = xy
+        A = jnp.asarray(self.A)
+        rhs = x + pmatvec(A.T.conj(), y)
+        u = jax.scipy.linalg.cho_solve((self.chol, False), rhs)
+        v = pmatvec(A, u)
+        return (u, v), _rzero(x)
+
+
+@proxclass(meta_fields=("k",))
+class IndRank:
+    """Indicator of {X : rank(X) <= k} (2-D leaf).  NONCONVEX; the prox
+    (a nearest-point, by Eckart-Young) truncates the SVD to the top-k
+    singular values (``ProximalOperators.IndBallRank``)."""
+
+    k: int = 1
+
+    is_convex = False
+    is_generalized_quadratic = False
+
+    def __call__(self, X):
+        s = jnp.linalg.svd(X, compute_uv=False)
+        R = real_dtype_of(X)
+        eps = jnp.finfo(R).eps
+        tail = jnp.sum(jnp.abs(s[self.k:]))
+        ok = tail <= 100 * eps * max(X.shape) * (1 + jnp.max(s))
+        return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
+
+    def prox(self, X, gamma):
+        U, s, Vh = jnp.linalg.svd(X, full_matrices=False)
+        s_trunc = jnp.where(jnp.arange(s.shape[0]) < self.k, s, 0)
+        Z = pdot(U * s_trunc[None, :].astype(U.dtype), Vh)
+        return Z, _rzero(X)
+
+
+@proxclass
+class NegEntropy:
+    """f(x) = lam * sum_i x_i log(x_i) on x >= 0 (with 0 log 0 = 0) — the
+    negative Shannon entropy, the Bregman/mirror-descent potential.  The
+    prox solves, per coordinate,
+
+        lam * (log z + 1) + (z - x) / gamma = 0
+        =>  z = (gamma*lam) * W( exp(x/(gamma*lam) - 1) / (gamma*lam) )
+
+    via 20 damped-Newton iterations on the scalar equation in log-space
+    (Lambert-W has no closed form; Newton from a safe positive start
+    converges quadratically and the fixed iteration count keeps the op
+    jit/vmap-friendly — validated variationally in the property sweep)."""
+
+    lam: object = 1.0
+
+    is_convex = True
+    is_generalized_quadratic = False
+
+    def __call__(self, x):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        R = real_dtype_of(leaf)
+        safe = jnp.maximum(leaf, jnp.finfo(R).tiny)
+        val = lam * jnp.sum(jnp.where(leaf > 0, leaf * jnp.log(safe), 0.0))
+        ok = jnp.all(leaf >= 0)
+        return jnp.where(ok, val, jnp.asarray(jnp.inf, R))
+
+    def prox(self, x, gamma):
+        (leaf,) = jax.tree.leaves(x)
+        lam = _rparam(self.lam, leaf)
+        gamma = _rparam(gamma, leaf)
+        c = gamma * lam
+        # stationarity  c*(log z + 1) + z = x; with t = log z solve
+        #   g(t) = c*(t + 1) + e^t - x = 0
+        # g is convex and strictly increasing, so Newton started at
+        # t0 = log(max(x, c)) sits at/right of the root (g(t0) >= 0 there)
+        # and descends monotonically — no overshoot, no overflow.
+        t = jnp.log(jnp.maximum(jnp.maximum(leaf, c),
+                                jnp.finfo(leaf.dtype).tiny))
+
+        def newton(_, t):
+            et = jnp.exp(t)
+            g = c * (t + 1) + et - leaf
+            dg = c + et
+            return t - g / dg
+
+        t = jax.lax.fori_loop(0, 20, newton, t)
+        z = jnp.exp(t).astype(leaf.dtype)
+        zt = jax.tree.unflatten(jax.tree.structure(x), [z])
+        return zt, self(zt)

@@ -233,3 +233,75 @@ def test_pointwise_minimum_value_and_prox():
     np.testing.assert_allclose(np.asarray(z), np.asarray(a))
     z, v = pm.prox(-0.9 * a, 1.0)
     np.testing.assert_allclose(np.asarray(z), np.asarray(-a))
+
+
+def test_ind_graph_projection():
+    """IndGraph: (u, v) = P(x, y) satisfies v = A u exactly and is the
+    nearest graph point (variational + normal-equation checks)."""
+    from proxtpu.prox import IndGraph
+
+    rng = np.random.default_rng(8)
+    A = jnp.asarray(rng.standard_normal((6, 4)))
+    g = IndGraph(A)
+    x = jnp.asarray(rng.standard_normal(4))
+    y = jnp.asarray(rng.standard_normal(6))
+    (u, v), val = g.prox((x, y), 0.7)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(A @ u), atol=1e-12)
+    assert float(val) == 0.0
+    # normal equations: (I + A^T A) u = x + A^T y
+    lhs = np.asarray(u) + np.asarray(A.T @ (A @ u))
+    np.testing.assert_allclose(lhs, np.asarray(x + A.T @ y), atol=1e-11)
+    # indicator values
+    assert float(g((u, v))) == 0.0
+    assert np.isinf(float(g((x, y))))
+    # nearest-point vs random graph points
+    d0 = float(jnp.linalg.norm(x - u) ** 2 + jnp.linalg.norm(y - v) ** 2)
+    for _ in range(20):
+        w = jnp.asarray(rng.standard_normal(4))
+        d = float(jnp.linalg.norm(x - w) ** 2
+                  + jnp.linalg.norm(y - A @ w) ** 2)
+        assert d >= d0 - 1e-10
+    # pytree roundtrip preserves the cached factorization
+    leaves, tdef = jax.tree.flatten(g)
+    g2 = jax.tree.unflatten(tdef, leaves)
+    (u2, v2), _ = g2.prox((x, y), 0.7)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u))
+
+
+def test_ind_rank_truncation():
+    from proxtpu.prox import IndRank
+
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.standard_normal((8, 6)))
+    Z, val = IndRank(2).prox(X, 1.0)
+    s = np.linalg.svd(np.asarray(Z), compute_uv=False)
+    assert np.sum(s > 1e-10) == 2
+    assert float(val) == 0.0
+    assert float(IndRank(2)(Z)) == 0.0
+    assert np.isinf(float(IndRank(2)(X)))
+    # Eckart-Young: the truncation is the nearest rank-2 matrix
+    U, S, Vh = np.linalg.svd(np.asarray(X), full_matrices=False)
+    best = (U[:, :2] * S[:2]) @ Vh[:2]
+    np.testing.assert_allclose(np.asarray(Z), best, atol=1e-12)
+
+
+def test_neg_entropy_prox():
+    from proxtpu.prox import NegEntropy
+
+    rng = np.random.default_rng(10)
+    lam, gamma = 0.8, 0.6
+    f = NegEntropy(lam)
+    x = jnp.asarray(np.concatenate([
+        rng.standard_normal(6) * 3, [-50.0, 1e4, 1e-6, 0.0]]))
+    z, val = f.prox(x, gamma)
+    z_np = np.asarray(z)
+    assert np.all(z_np > 0)
+    # stationarity: gamma*lam*(log z + 1) + z - x = 0
+    res = gamma * lam * (np.log(z_np) + 1) + z_np - np.asarray(x)
+    np.testing.assert_allclose(res, 0, atol=1e-9 * (1 + np.abs(z_np).max()))
+    np.testing.assert_allclose(
+        float(val), lam * np.sum(z_np * np.log(z_np)), rtol=1e-10
+    )
+    # value: 0 log 0 = 0, negatives are infeasible
+    assert float(f(jnp.zeros(3))) == 0.0
+    assert np.isinf(float(f(jnp.asarray([-0.1, 0.5, 0.2]))))

@@ -28,6 +28,7 @@ from proxtpu.prox import (
     IndExpDual,
     IndExpPrimal,
     IndPoint,
+    NegEntropy,
     PointwiseMinimum,
     Regularize,
     Tilt,
@@ -103,6 +104,7 @@ def _functions(rng):
         Regularize(NormL1(0.3), 0.8, a * 0.2),
         IndExpPrimal(),  # trailing dim 3: the (12,) iterate splits into 4 cones
         IndExpDual(),
+        NegEntropy(0.7),  # domain x >= 0: infeasible perturbations skipped
         IndBinary(-0.5, 1.0),  # nonconvex: optimality-among-perturbations only
         PointwiseMinimum(  # nonconvex (union of two points)
             (IndPoint(a * 0.1), IndPoint(-a * 0.1))

@@ -341,3 +341,85 @@ class PointwiseMinimum:
             best_v = jnp.where(take, v, best_v)
             best_obj = jnp.minimum(obj, best_obj)
         return best_z, best_v
+
+
+@proxclass
+class PrecomposeDiagonal:
+    """g(x) = f(a .* x + b) for an elementwise (diagonal) scaling ``a`` and
+    shift ``b`` (``ProximalOperators.PrecomposeDiagonal``).  Requires f to
+    be SEPARABLE (coordinate-wise) — then the prox decouples per coordinate
+    with an elementwise stepsize:
+
+        prox_{gamma g}(x) = (prox_{gamma a^2 f}(a x + b) - b) / a
+
+    so f's prox must accept an ARRAY gamma broadcasting against the iterate
+    (true of every separable member here: NormL1, SqrNormL2, ElasticNet,
+    IndBox, HuberLoss, LogBarrier, ...).  ``a`` must be nonzero
+    elementwise; both contracts are the user's (mirroring the upstream
+    ``@assert`` on separability)."""
+
+    f: object
+    a: object
+    b: object = 0.0
+
+    @property
+    def is_convex(self):
+        return getattr(self.f, "is_convex", False)
+
+    @property
+    def is_generalized_quadratic(self):
+        return getattr(self.f, "is_generalized_quadratic", False)
+
+    def _affine(self, x):
+        return tree_map(lambda xl: self.a * xl + self.b, x)
+
+    def __call__(self, x):
+        return self.f(self._affine(x))
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        v, gy = value_and_gradient(self.f, self._affine(x))
+        return v, tree_map(lambda gl: jnp.conj(self.a) * gl, gy)
+
+    def prox(self, x, gamma):
+        y = self._affine(x)
+        z, f_z = self.f.prox(y, gamma * jnp.square(jnp.abs(self.a)))
+        return tree_map(lambda zl: (zl - self.b) / self.a, z), f_z
+
+
+@proxclass(meta_fields=())
+class Sum:
+    """g(x) = sum_i f_i(x) (``ProximalOperators.Sum``): a SMOOTH-only
+    combinator — the sum of proxes is not the prox of the sum, so this
+    exposes value/gradient oracles only (use a splitting algorithm, or
+    SeparableSum for block-separable structure, when proxes are needed)."""
+
+    fs: tuple
+
+    @property
+    def is_convex(self):
+        return all(getattr(f, "is_convex", False) for f in self.fs)
+
+    @property
+    def is_generalized_quadratic(self):
+        return all(
+            getattr(f, "is_generalized_quadratic", False) for f in self.fs
+        )
+
+    def __call__(self, x):
+        vals = [f(x) for f in self.fs]
+        out = vals[0]
+        for v in vals[1:]:
+            out = out + v
+        return out
+
+    def value_and_gradient(self, x):
+        from .base import value_and_gradient
+
+        v, g = value_and_gradient(self.fs[0], x)
+        for f in self.fs[1:]:
+            vi, gi = value_and_gradient(f, x)
+            v = v + vi
+            g = tree_map(lambda a, b: a + b, g, gi)
+        return v, g

@@ -27,9 +27,14 @@ from proxtpu.prox import (
     IndBinary,
     IndExpDual,
     IndExpPrimal,
+    IndFree,
+    IndHyperslab,
     IndPoint,
+    IndPolyhedral,
     NegEntropy,
     PointwiseMinimum,
+    PrecomposeDiagonal,
+    TotalVariation1D,
     Regularize,
     Tilt,
     make_least_squares,
@@ -108,6 +113,13 @@ def _functions(rng):
         IndBinary(-0.5, 1.0),  # nonconvex: optimality-among-perturbations only
         PointwiseMinimum(  # nonconvex (union of two points)
             (IndPoint(a * 0.1), IndPoint(-a * 0.1))
+        ),
+        IndFree(),
+        IndHyperslab(a, -0.4, 0.3),
+        IndPolyhedral(A, b8 - 1.0, b8 + 0.5),
+        TotalVariation1D(0.3),
+        PrecomposeDiagonal(
+            NormL1(0.4), jnp.where(jnp.abs(a) < 0.3, 0.5, a), 0.1
         ),
     ]
 

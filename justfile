@@ -71,3 +71,6 @@ bench-matrix-completion:
 
 bench-glasso:
     python benchmarks/glasso_bench.py
+
+bench-tv1d:
+    python benchmarks/tv1d_bench.py --batch 4096 --n 512

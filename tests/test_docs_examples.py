@@ -275,3 +275,17 @@ def test_reference_tolerances_example():
     # lam decreases along the path -> support grows (weakly, modulo ties)
     assert nnz[-1] >= nnz[0]
     assert out["xs"].dtype == np.float64
+
+
+def test_tv1d_denoising_example():
+    """Batched TV1D denoising: one vmapped prox call lifts SNR by >6 dB
+    on piecewise-constant signals."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "tv1d_denoising.py")
+    spec = importlib.util.spec_from_file_location("tv1d_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["snr_denoised"] > out["snr_noisy"] + 6.0

@@ -116,44 +116,61 @@ def main():
 
     Y = gen_signals(B, N)
     Yd = jnp.asarray(Y)
-    tv = TotalVariation1D(LAM)
-    batched = jax.jit(jax.vmap(lambda y: tv.prox(y, 1.0)[0]))
 
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "batch": B, "n": N, "lam": LAM,
                       "noise": NOISE}), flush=True)
 
-    t0 = time.perf_counter()
-    Z = np.asarray(batched(Yd))  # host transfer = the only reliable fence
-    t_compile = time.perf_counter() - t0
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        Z = np.asarray(batched(Yd))
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    lo, hi = np.percentile(times, [25, 75])
+    worst_committed = None
+    for restart in (True, False):
+        tv = TotalVariation1D(LAM, restart=restart)
+        # prox returns (z, f_z); the (B,) value vector is the fence — it
+        # depends on the full solution, so materializing it on the host
+        # proves the loop finished, without paying the B*N solution
+        # transfer through the tunnel (the round-5 streaming-protocol
+        # finding, BASELINE.md; production consumers keep z on device)
+        batched = jax.jit(jax.vmap(lambda y: tv.prox(y, 1.0)))
 
-    # accuracy gate: f64 taut-string oracle on the first ORACLE_LANES lanes
-    k = min(ORACLE_LANES, B)
-    worst = 0.0
-    for i in range(k):
-        zo = tv1d_condat(Y[i].astype(np.float64), LAM)
-        worst = max(worst, float(np.max(np.abs(Z[i].astype(np.float64) - zo))))
-    rec = {
-        "variant": "tv1d_batched_dual_fgp_f32",
-        "batch": B, "n": N,
-        "signals_per_sec": B / med,
-        "median_s": med,
-        "iqr_s": [float(lo), float(hi)],
-        "compile_s": t_compile,
-        "oracle_lanes": k,
-        "worst_inf_err_vs_tautstring": worst,
-    }
-    print(json.dumps(rec), flush=True)
-    # f32 iterates + stall-based dual stop: measured ~2e-4 worst on
-    # unit-scale signals (CPU study); gate with margin
-    assert worst < 1e-3, worst
+        t0 = time.perf_counter()
+        _, val = batched(Yd)
+        np.asarray(val)
+        t_compile = time.perf_counter() - t0
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            _, val = batched(Yd)
+            np.asarray(val)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        lo, hi = np.percentile(times, [25, 75])
+        Z = np.asarray(batched(Yd)[0])  # post-timing fetch for the gate
+
+        # accuracy gate: f64 taut-string oracle on ORACLE_LANES lanes
+        k = min(ORACLE_LANES, B)
+        worst = 0.0
+        for i in range(k):
+            zo = tv1d_condat(Y[i].astype(np.float64), LAM)
+            worst = max(
+                worst, float(np.max(np.abs(Z[i].astype(np.float64) - zo)))
+            )
+        rec = {
+            "variant": "tv1d_batched_dual_fgp_f32"
+            + ("_restart" if restart else "_plain"),
+            "batch": B, "n": N,
+            "signals_per_sec": B / med,
+            "median_s": med,
+            "iqr_s": [float(lo), float(hi)],
+            "compile_s": t_compile,
+            "oracle_lanes": k,
+            "worst_inf_err_vs_tautstring": worst,
+        }
+        print(json.dumps(rec), flush=True)
+        # f32 iterates + stall-based dual stop: measured ~2e-4 worst on
+        # unit-scale signals (CPU study); gate with margin
+        assert worst < 1e-3, worst
+        if restart:
+            worst_committed = worst
+            med_restart = med
 
     # sequential CPU baseline: the direct taut string, one signal at a time
     ts = []
@@ -167,7 +184,7 @@ def main():
         "signals_per_sec": 1.0 / med_np,
         "median_solve_s": med_np,
         "n_timed": len(ts),
-        "speedup_batched_vs_direct": (B / med) / (1.0 / med_np),
+        "speedup_batched_vs_direct": (B / med_restart) / (1.0 / med_np),
     }), flush=True)
 
 

@@ -1822,7 +1822,7 @@ class IndPolyhedral:
         return zt, _rzero(x)
 
 
-@proxclass(meta_fields=("maxit",))
+@proxclass(meta_fields=("maxit", "restart"))
 class TotalVariation1D:
     """f(x) = lam * sum_i |x_{i+1} - x_i| — the 1-D (anisotropic) total
     variation (``ProximalOperators.TotalVariation1D``).
@@ -1838,11 +1838,18 @@ class TotalVariation1D:
     BATCH of signals is one vectorized solve (the taut string cannot
     batch).  The loop exits when the iterate stalls below ``tol`` (floored
     at 10*eps), capped at ``maxit``.
+
+    ``restart=True`` (default) adds O'Donoghue-Candès gradient-scheme
+    adaptive restart to the dual sequence — same fixed point, measured
+    2.8x fewer dual iterations (mean 258 -> 91, max 482 -> 159 on the
+    4096x512 benchmark batch) at identical accuracy vs the f64
+    taut-string oracle (BASELINE.md round-5 TV section).
     """
 
     lam: object = 1.0
     tol: object = 1e-10
     maxit: int = 2000
+    restart: bool = True
 
     is_convex = True
     is_generalized_quadratic = False
@@ -1877,8 +1884,16 @@ class TotalVariation1D:
             u, w, t, k, _ = c
             g = D(Dt(w) - leaf)
             u_new = jnp.clip(w - quarter * g, -thr, thr)
+            if self.restart:
+                # gradient-scheme restart: reset momentum when the dual
+                # step opposes the previous direction
+                do_r = jnp.sum((w - u_new) * (u_new - u)) > 0
+                t = jnp.where(do_r, jnp.ones((), R), t)
             t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            w_new = u_new + ((t - 1) / t_new) * (u_new - u)
+            beta = (t - 1) / t_new
+            if self.restart:
+                beta = jnp.where(do_r, jnp.zeros((), R), beta)
+            w_new = u_new + beta * (u_new - u)
             delta = jnp.max(jnp.abs(u_new - u), initial=0.0)
             return u_new, w_new, t_new, k + 1, delta
 

@@ -280,3 +280,17 @@ def test_sum_in_solver():
         x0=x0, f=f_sum, g=g, Lf=Lf
     )
     np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-7)
+
+
+def test_total_variation_1d_restart_matches_plain():
+    """restart=True (default) reaches the same fixed point as the plain
+    dual FGP — parity to the f32/f64 accuracy floor, and both match the
+    epigraph-QP oracle."""
+    rng = np.random.default_rng(37)
+    n, lam, gamma = 20, 0.5, 0.8
+    xs = rng.standard_normal(n)
+    zr, _ = TotalVariation1D(lam, restart=True).prox(jnp.asarray(xs), gamma)
+    zp, _ = TotalVariation1D(lam, restart=False).prox(jnp.asarray(xs), gamma)
+    np.testing.assert_allclose(np.asarray(zr), np.asarray(zp), atol=1e-7)
+    uo = _tv_epigraph_oracle(xs, gamma * lam)
+    np.testing.assert_allclose(np.asarray(zr), uo, atol=1e-6)

@@ -51,6 +51,7 @@ from .warm import (
     WarmStartedBatchedAlgorithm,
     cast_problem,
 )
+from .stream import stream_solve
 from .sharded_kernels import (
     default_dp_mesh,
     sharded_solve_lasso_batch_packed,
@@ -100,4 +101,5 @@ __all__ = [
     "sharded_solve_lasso_batch_blocked",
     "sharded_solve_lasso_multirhs",
     "sharded_solve_tv_batch",
+    "stream_solve",
 ]

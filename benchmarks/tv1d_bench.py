@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     B, N = args.batch, args.n
+    if N % N_PIECES:
+        ap.error(f"--n must be a multiple of {N_PIECES} (got {N})")
 
     from proxtpu.prox import TotalVariation1D
 

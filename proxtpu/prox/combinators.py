@@ -313,6 +313,10 @@ class PointwiseMinimum:
 
     fs: tuple
 
+    def __post_init__(self):
+        if not self.fs:
+            raise ValueError("PointwiseMinimum needs at least one term")
+
     is_convex = False
 
     @property
@@ -396,6 +400,10 @@ class Sum:
     SeparableSum for block-separable structure, when proxes are needed)."""
 
     fs: tuple
+
+    def __post_init__(self):
+        if not self.fs:
+            raise ValueError("Sum needs at least one term")
 
     @property
     def is_convex(self):

@@ -1703,7 +1703,10 @@ class IndHyperslab:
         R = real_dtype_of(x)
         eps = jnp.finfo(R).eps
         lo, hi = jnp.asarray(self.lo, R), jnp.asarray(self.hi, R)
-        slack = 100 * eps * (1 + jnp.maximum(jnp.abs(lo), jnp.abs(hi)))
+        # slack from the point's own scale (NOT from the bounds: a
+        # one-sided slab has an infinite bound, which would make the
+        # slack infinite and the test vacuous)
+        slack = 100 * eps * (1 + jnp.abs(dot))
         ok = (dot >= lo - slack) & (dot <= hi + slack)
         return jnp.where(ok, jnp.zeros((), R), jnp.asarray(jnp.inf, R))
 
@@ -1782,15 +1785,25 @@ class IndPolyhedral:
         Ax = pmatvec(A, leaf)
         atol = tol * (1 + jnp.max(jnp.abs(Ax)))
 
-        # L = ||A||_2^2 via power iteration on A^T A (deterministic start)
-        v = jnp.ones(A.shape[-1], R) / jnp.sqrt(A.shape[-1])
+        # L = ||A||_2^2 via power iteration on A^T A.  The start vector is
+        # deterministic but NON-uniform (an all-ones start lies exactly in
+        # the null space of difference/monotonicity constraint matrices,
+        # whose rows sum to zero — the estimate would collapse and
+        # step = 1/L overflow); if the iterate still lands in a null
+        # space, fall back to the Frobenius bound ||A||_F^2 >= ||A||_2^2
+        # (an overestimate only shrinks the step — always safe).
+        n_cols = A.shape[-1]
+        v = jnp.cos(jnp.arange(n_cols, dtype=R) * 1.7 + 0.3)
+        v = v / jnp.linalg.norm(v)
 
         def pw(_, v):
             w = pmatvec(A.conj().T, pmatvec(A, v))
             return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(R).tiny)
 
         v = jax.lax.fori_loop(0, 20, pw, v)
-        L = jnp.linalg.norm(pmatvec(A, v)) ** 2 * 1.05 + jnp.finfo(R).tiny
+        L_pow = jnp.linalg.norm(pmatvec(A, v)) ** 2 * 1.05
+        fro2 = jnp.sum(jnp.abs(A) ** 2)
+        L = jnp.where(L_pow > eps * fro2, L_pow, fro2) + jnp.finfo(R).tiny
         step = 1 / L
 
         def sigma_prox(v, s):

@@ -355,3 +355,55 @@ def test_inner_loop_proxes_f32(cls_args):
     assert z32.dtype == jnp.float32
     assert np.max(np.abs(np.asarray(z32, np.float64)
                          - np.asarray(z64))) < 5e-4
+
+
+def test_ind_polyhedral_zero_row_sum_constraints():
+    """Monotonicity constraints x_{i+1} - x_i >= 0 have zero row sums —
+    the power-iteration start must not lie in A^T A's null space
+    (regression: an all-ones start collapsed the Lipschitz estimate and
+    the prox returned NaN)."""
+    n = 4
+    A = np.zeros((n - 1, n))
+    for i in range(n - 1):
+        A[i, i], A[i, i + 1] = -1.0, 1.0
+    f = IndPolyhedral(
+        jnp.asarray(A), jnp.zeros(n - 1), jnp.full(n - 1, np.inf)
+    )
+    x = jnp.asarray([3.0, 1.0, 2.0, 0.0])
+    z, v = f.prox(x, 1.0)
+    z = np.asarray(z)
+    assert np.all(np.isfinite(z))
+    assert np.all(np.diff(z) >= -1e-7)  # monotone (isotonic regression)
+    # oracle: pool-adjacent-violators on [3,1,2,0] -> [1.5,1.5,1.5,1.5]?
+    # no: PAV gives [2,2,2,0]->... compute via SLSQP
+    r = minimize(
+        lambda u: 0.5 * np.sum((u - np.asarray(x)) ** 2),
+        np.sort(np.asarray(x)),
+        constraints=[{"type": "ineq", "fun": lambda u: np.diff(u)}],
+        method="SLSQP",
+        options={"maxiter": 500, "ftol": 1e-14},
+    )
+    np.testing.assert_allclose(z, r.x, atol=1e-6)
+
+
+def test_ind_hyperslab_one_sided_call_detects_violation():
+    """Regression: one-sided slabs (an infinite bound) made the
+    feasibility slack infinite, so __call__ returned 0 everywhere."""
+    a = jnp.asarray([1.0, 2.0, -1.0])
+    f = IndHyperslab(a, -np.inf, 0.2)
+    x_bad = jnp.asarray([5.0, 1.0, 2.0])  # <a,x> = 5 > 0.2
+    assert np.isinf(float(f(x_bad)))
+    x_ok = jnp.asarray([0.0, 0.0, 0.0])
+    assert float(f(x_ok)) == 0.0
+    # prox output is feasible and detected as such
+    z, _ = f.prox(x_bad, 1.0)
+    assert float(f(z)) == 0.0
+
+
+def test_empty_combinators_rejected():
+    from proxtpu.prox import PointwiseMinimum
+
+    with pytest.raises(ValueError):
+        Sum(())
+    with pytest.raises(ValueError):
+        PointwiseMinimum(())

@@ -15,7 +15,7 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
   (per-lane O'Donoghue-Candès adaptive restart, in-kernel,
   zero-lane-padding packed A stream), measured as STREAMING throughput —
   two batched solves dispatched back-to-back per rep (JAX async dispatch
-  overlaps the per-call tunnel/host overhead, ~34 ms/call on this
+  overlaps the per-call tunnel/host overhead, ~38 ms/call on this
   tunnel, with device compute — exactly how a pipeline drains a problem
   queue), fenced by a host transfer of the per-lane iteration counts
   (2 KB, a complete fence: materializing them requires the while_loop to
@@ -25,8 +25,10 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
   timing and an inlined residual recheck asserts every returned lane's
   recomputed forward-backward residual is ``<= 1.1 * tol``, so the
   protocol change cannot silently trade accuracy.  Measured decomposition
-  (BASELINE.md round-5 streaming section): single-solve xs-fenced 3381
-  p/s -> iters fence 4000 -> depth-2 pipeline 5229 in the same session.
+  (``benchmarks/streaming_probe.py`` ->
+  ``benchmarks/results_streaming.jsonl``, BASELINE.md round-5 streaming
+  section): single-solve xs-fenced 3294 p/s -> iters fence 3986 ->
+  depth-2 pipeline 5195 in the committed same-session run.
 * **fenced single-solve** (stderr detail line) — the exact r1-4 headline
   protocol (one solve per rep, xs host transfer as the fence), kept for
   round-over-round comparability.

@@ -1,0 +1,241 @@
+"""Per-call overhead / streaming-dispatch probe (round-5 protocol study).
+
+Reproduces every number in BASELINE.md's "Streaming headline protocol"
+section on the committed record (`results_streaming.jsonl`):
+
+* fenced-each single-solve throughput under the xs fence vs the 2 KB
+  iteration-count fence (the solution-transfer cost);
+* pipelined dispatch at depth 2/4/8 (the `stream_solve` execution model);
+* the maxit=1 vs maxit=512 decomposition (pure per-call overhead vs the
+  marginal per-iteration cost);
+* marginal per-iteration cost vs batch width on the natural-layout kernel
+  (the tail-compaction bound);
+* TV1D dual-FGP iteration counts with/without adaptive restart (the
+  numbers in ``TotalVariation1D``'s docstring).
+
+All rows are same-process, same-window comparisons — the tunnel's
+absolute rate is bimodal on minute scales (BASELINE.md round-4 section),
+so only intra-run ratios are meaningful.
+
+Usage: python benchmarks/streaming_probe.py [--reps 5]
+Committed record: benchmarks/results_streaming.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+M, N, B = 200, 400, 256
+TOL = 1e-5
+
+
+def gen(batch, m=M, n=N, seed=0):
+    rng = np.random.default_rng(seed)
+    As = (rng.standard_normal((batch, m, n)) / np.sqrt(m)).astype(np.float32)
+    bs = rng.standard_normal((batch, m)).astype(np.float32)
+    lams = 0.1 * np.max(
+        np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1
+    ).astype(np.float32)
+    Lfs = np.array(
+        [np.linalg.norm(As[i], 2) ** 2 for i in range(batch)], np.float32
+    )
+    return tuple(map(jnp.asarray, (As, bs, lams, Lfs)))
+
+
+def med(ts):
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    reps = args.reps
+
+    from proxtpu.kernels.lasso import (
+        solve_lasso_batch,
+        solve_lasso_batch_packed,
+    )
+    from proxtpu.parallel import stream_solve
+
+    A, b, lam, Lf = gen(B)
+    print(json.dumps({"devices": [str(d) for d in jax.devices()],
+                      "shape": [B, M, N], "tol": TOL}), flush=True)
+
+    def solve_dev(tol=TOL, maxit=2000):
+        return solve_lasso_batch_packed(
+            A, b, lam, Lf, tol, maxit=maxit, restart=True
+        )
+
+    # --- fence comparison (single solve) -------------------------------
+    for fence_name in ("xs", "iters"):
+        out = solve_dev()
+        np.asarray(out[0] if fence_name == "xs" else out[1])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = solve_dev()
+            np.asarray(out[0] if fence_name == "xs" else out[1])
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "variant": f"fenced_each_{fence_name}",
+            "problems_per_sec": B / med(ts), "median_s": med(ts),
+        }), flush=True)
+
+    # --- pipelined dispatch (stream_solve) -----------------------------
+    for depth in (2, 4, 8):
+        list(stream_solve(lambda _: solve_dev(), range(depth), depth=depth))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(stream_solve(
+                lambda _: solve_dev(), range(depth), depth=depth
+            ))
+            ts.append((time.perf_counter() - t0) / depth)
+        print(json.dumps({
+            "variant": f"pipelined_depth{depth}",
+            "problems_per_sec": B / med(ts), "median_s_per_solve": med(ts),
+        }), flush=True)
+
+    # --- overhead decomposition ----------------------------------------
+    decomp = {}
+    for maxit in (1, 512):
+        for fence_name in ("xs", "iters"):
+            out = solve_dev(tol=0.0, maxit=maxit)
+            np.asarray(out[0] if fence_name == "xs" else out[1])
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = solve_dev(tol=0.0, maxit=maxit)
+                np.asarray(out[0] if fence_name == "xs" else out[1])
+                ts.append(time.perf_counter() - t0)
+            decomp[f"maxit{maxit}_{fence_name}_ms"] = med(ts) * 1e3
+    decomp["variant"] = "overhead_decomposition"
+    decomp["per_iter_us"] = (
+        (decomp["maxit512_iters_ms"] - decomp["maxit1_iters_ms"])
+        / 511 * 1e3
+    )
+    decomp["xs_fence_cost_ms"] = (
+        decomp["maxit1_xs_ms"] - decomp["maxit1_iters_ms"]
+    )
+    print(json.dumps(decomp), flush=True)
+
+    # --- per-iteration cost vs batch width (natural-layout kernel) -----
+    for bw in (32, 64, 128, 256):
+        Aw, bw_, lamw, Lfw = gen(bw)
+        fix = 256
+
+        def run():
+            xs, it, dn = solve_lasso_batch(
+                Aw, bw_, lamw, Lfw, 0.0, maxit=fix, restart=True
+            )
+            return np.asarray(it)
+
+        run()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "variant": f"per_iter_vs_width_B{bw}",
+            "per_iter_us": med(ts) / fix * 1e6,
+            "fixed_iters": fix,
+        }), flush=True)
+
+    # --- TV1D dual iterations with/without restart ---------------------
+    # The library prox does not return iteration counts, so this block
+    # runs an INSTRUMENTED copy of the same dual loop (identical update
+    # algebra, plus a per-lane k counter) and asserts its output matches
+    # the library prox lane-for-lane — the counts quoted in
+    # ``TotalVariation1D``'s docstring come from here.
+    from proxtpu.prox import TotalVariation1D
+
+    rng = np.random.default_rng(0)
+    Bt, Nt = 4096, 512
+    steps = np.cumsum(rng.standard_normal((Bt, 8)), axis=1)
+    truth = np.repeat(steps, Nt // 8, axis=1)
+    Y = jnp.asarray(
+        (truth + 0.3 * rng.standard_normal((Bt, Nt))).astype(np.float32)
+    )
+
+    def counted_prox(lam, restart, maxit=2000, tol=1e-10):
+        def prox(leaf, gamma):
+            R = leaf.dtype
+            thr = jnp.asarray(lam * gamma, R)
+            eps = jnp.finfo(R).eps
+            tolv = jnp.maximum(jnp.asarray(tol, R), 10 * eps) * (
+                1 + jnp.max(jnp.abs(leaf))
+            )
+
+            def Dt(u):
+                return jnp.pad(u, (1, 0)) - jnp.pad(u, (0, 1))
+
+            u0 = jnp.zeros(leaf.shape[0] - 1, R)
+            quarter = jnp.asarray(0.25, R)
+
+            def cond(c):
+                u, w, t, k, delta = c
+                return (k < maxit) & (delta > tolv)
+
+            def body(c):
+                u, w, t, k, _ = c
+                g = jnp.diff(Dt(w) - leaf)
+                u_new = jnp.clip(w - quarter * g, -thr, thr)
+                if restart:
+                    do_r = jnp.sum((w - u_new) * (u_new - u)) > 0
+                    t = jnp.where(do_r, jnp.ones((), R), t)
+                t_new = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                beta = (t - 1) / t_new
+                if restart:
+                    beta = jnp.where(do_r, jnp.zeros((), R), beta)
+                w_new = u_new + beta * (u_new - u)
+                delta = jnp.max(jnp.abs(u_new - u), initial=0.0)
+                return u_new, w_new, t_new, k + 1, delta
+
+            u, _, _, k, _ = jax.lax.while_loop(
+                cond, body,
+                (u0, u0, jnp.ones((), R), jnp.zeros((), jnp.int32),
+                 jnp.asarray(jnp.inf, R)),
+            )
+            return leaf - Dt(u), k
+
+        return prox
+
+    for restart in (False, True):
+        tv = TotalVariation1D(0.3, restart=restart)
+        lib = jax.jit(jax.vmap(lambda y: tv.prox(y, 1.0)[0]))
+        inst = jax.jit(
+            jax.vmap(lambda y: counted_prox(0.3, restart)(y, 1.0))
+        )
+        Z_lib = np.asarray(lib(Y))
+        Z_inst, K = inst(Y)
+        Z_inst, K = np.asarray(Z_inst), np.asarray(K)
+        parity = float(np.max(np.abs(Z_lib - Z_inst)))
+        assert parity == 0.0, parity  # identical algebra, identical result
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, K_ = inst(Y)
+            np.asarray(K_)
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "variant": f"tv1d_restart_{restart}",
+            "signals_per_sec": Bt / med(ts),
+            "dual_iters_mean": float(K.mean()),
+            "dual_iters_max": int(K.max()),
+            "instrumented_parity_inf_err": parity,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

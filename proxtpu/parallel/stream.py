@@ -1,13 +1,15 @@
 """Pipelined dispatch of batched solves (the streaming execution model).
 
 The round-5 per-call decomposition of the flagship batched solve
-(BASELINE.md "Streaming headline protocol") found the wall on a
-tunnel-attached chip is dominated by per-call host overhead (~34 ms
-dispatch + ~14 ms solution-transfer fence vs ~100 us/iteration of device
-compute).  JAX dispatch is asynchronous, so a producer that keeps ``depth``
-solves in flight overlaps one call's host overhead with another's device
-compute — measured 2.8x end-to-end on ``bench.py``'s headline batch
-(1833 -> 5187 problems/s, identical solutions).
+(``benchmarks/streaming_probe.py`` ->
+``benchmarks/results_streaming.jsonl``; BASELINE.md "Streaming headline
+protocol") found the wall on a tunnel-attached chip is dominated by
+per-call host overhead (38.3 ms dispatch + 13.8 ms solution-transfer
+fence vs 98.7 us/iteration of device compute).  JAX dispatch is
+asynchronous, so a producer that keeps ``depth`` solves in flight
+overlaps one call's host overhead with another's device compute —
+measured 2.8x end-to-end on ``bench.py``'s headline batch (1833 -> 5187
+problems/s, identical solutions).
 
 :func:`stream_solve` packages that pattern: it drains an iterable of
 problem payloads through a solve callable, keeping up to ``depth`` calls
@@ -51,9 +53,9 @@ def stream_solve(solve, problems, depth=2, fence=_smallest_leaf_fence):
     ``solve`` must be an async-dispatching device function (a jitted
     solver / kernel path); its output pytree is yielded as-is (device
     arrays — transfer only what you consume).  ``depth=2`` is the
-    measured sweet spot on the tunnel (deeper queues contend: 5229 /
-    4938 / 4012 p/s at depth 2/4/8, BASELINE.md); ``depth=0`` degrades
-    to fully synchronous execution.
+    measured sweet spot on the tunnel (deeper queues contend: 5195 /
+    4983 / 4665 p/s at depth 2/4/8, ``results_streaming.jsonl``);
+    ``depth=0`` degrades to fully synchronous execution.
 
     ``fence(out)`` blocks until ``out``'s computation finished; the
     default transfers the smallest output leaf.  Pass a custom fence to

@@ -1865,8 +1865,11 @@ class TotalVariation1D:
     ``restart=True`` (default) adds O'Donoghue-Candès gradient-scheme
     adaptive restart to the dual sequence — same fixed point, measured
     2.8x fewer dual iterations (mean 258 -> 91, max 482 -> 159 on the
-    4096x512 benchmark batch) at identical accuracy vs the f64
-    taut-string oracle (BASELINE.md round-5 TV section).
+    4096x512 benchmark batch; ``tv1d_restart_*`` rows of
+    ``benchmarks/results_streaming.jsonl``, counted by the instrumented
+    loop in ``streaming_probe.py`` whose output is asserted identical to
+    this prox) at identical accuracy vs the f64 taut-string oracle
+    (BASELINE.md round-5 TV section).
     """
 
     lam: object = 1.0

@@ -289,3 +289,19 @@ def test_tv1d_denoising_example():
     spec.loader.exec_module(mod)
     out = mod.main(verbose=False)
     assert out["snr_denoised"] > out["snr_noisy"] + 6.0
+
+
+def test_isotonic_regression_example():
+    """Monotone-constrained fits via IndPolyhedral: both solves produce
+    monotone solutions and isotonic averaging beats the raw noise."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(DOCS), "examples",
+                        "isotonic_regression.py")
+    spec = importlib.util.spec_from_file_location("iso_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(verbose=False)
+    assert out["monotone"] and out["monotone_general"]
+    assert out["mse_vs_truth"] < out["mse_noisy"]
+    assert out["iterations"] < 5000

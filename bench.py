@@ -14,12 +14,14 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
   PRODUCTION EXECUTION MODEL: ``solve_lasso_batch_packed(restart=True)``
   (per-lane O'Donoghue-Candès adaptive restart, in-kernel,
   zero-lane-padding packed A stream), measured as STREAMING throughput —
-  two batched solves dispatched back-to-back per rep (JAX async dispatch
-  overlaps the per-call tunnel/host overhead, ~38 ms/call on this
-  tunnel, with device compute — exactly how a pipeline drains a problem
-  queue), fenced by a host transfer of the per-lane iteration counts
-  (2 KB, a complete fence: materializing them requires the while_loop to
-  have finished; the 400 KB solution stays on device as in production).
+  a 6-solve stream drained through ``proxtpu.parallel.stream_solve``
+  with depth 2 dispatched ahead (JAX async dispatch overlaps the
+  per-call tunnel/host overhead, ~31 ms/call on this tunnel, with
+  device compute — exactly how a pipeline drains a problem queue), each
+  yield fenced by a host transfer of the per-lane iteration counts
+  (2 KB, a complete fence: the packed solver's outputs all come from
+  one executable; the 400 KB solution stays on device as in
+  production).
   Same stopping rule as everything else
   (``||x - z||_inf / gamma <= tol``); solutions are fetched once after
   timing and an inlined residual recheck asserts every returned lane's
@@ -27,8 +29,8 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
   protocol change cannot silently trade accuracy.  Measured decomposition
   (``benchmarks/streaming_probe.py`` ->
   ``benchmarks/results_streaming.jsonl``, BASELINE.md round-5 streaming
-  section): single-solve xs-fenced 3294 p/s -> iters fence 3986 ->
-  depth-2 pipeline 5195 in the committed same-session run.
+  section): single-solve xs-fenced 3389 p/s -> iters fence 4070 ->
+  steady-state depth-2 stream 6867 in the committed same-session run.
 * **fenced single-solve** (stderr detail line) — the exact r1-4 headline
   protocol (one solve per rep, xs host transfer as the fence), kept for
   round-over-round comparability.
@@ -159,18 +161,38 @@ def run_jax(As, bs, lams, Lfs):
     lam = jnp.asarray(lams)
     Lf = jnp.asarray(Lfs)
 
+    from functools import partial
+
+    _jitted = {}
+
     def solve_dev(restart, tol=TOL, maxit=MAXIT):
-        """Dispatch one batched solve; results stay on device."""
+        """Dispatch one batched solve; results stay on device.
+
+        The whole solver call is wrapped in ONE outer ``jax.jit`` (it is
+        traceable end-to-end), so each solve costs a single executable
+        launch instead of ~10 eager op dispatches for the packing
+        transpose — on the tunnel that is the difference between ~31 ms
+        and a few ms of host path per call (measured +26% steady-state
+        streaming throughput, bit-identical solutions; BASELINE.md
+        round-5 streaming section)."""
         if use_kernel:
             # headline path: packed zero-padding kernel (falls back to the
             # natural layout internally when N is already lane-aligned)
-            return solve_lasso_batch_packed(
-                A, b, lam, Lf, tol, maxit=maxit, restart=restart,
-            )
-        return solve_lasso_batch(
-            A, b, lam, Lf, tol, maxit=maxit, use_kernel=False,
-            restart=restart,
-        )
+            key = (True, restart, tol, maxit)
+        else:
+            key = (False, restart, tol, maxit)
+        if key not in _jitted:
+            if use_kernel:
+                _jitted[key] = jax.jit(partial(
+                    solve_lasso_batch_packed, tol=tol, maxit=maxit,
+                    restart=restart,
+                ))
+            else:
+                _jitted[key] = jax.jit(partial(
+                    solve_lasso_batch, tol=tol, maxit=maxit,
+                    use_kernel=False, restart=restart,
+                ))
+        return _jitted[key](A, b, lam, Lf)
 
     def solve(restart, tol=TOL, maxit=MAXIT):
         xs, iters, done = solve_dev(restart, tol, maxit)
@@ -212,18 +234,26 @@ def run_jax(As, bs, lams, Lfs):
             "xs": xs,
         }
 
-    def timed_streaming(restart, depth=2, epochs=3, reps=3, gap_s=25.0):
-        """Round-5 headline protocol: STREAMING throughput — ``depth``
-        batched solves dispatched back-to-back (JAX async dispatch
-        overlaps the per-call host/tunnel overhead with device compute,
-        exactly how a production pipeline drains a problem queue), fenced
-        once per rep by a host transfer of the per-lane ITERATION COUNTS
-        (2 KB; materializing them requires the whole while_loop to have
-        finished, so it is a complete fence — the 400 KB solution array
-        stays on device, as it would in production).  Solutions are
-        fetched ONCE after timing and residual-rechecked, so the accuracy
-        gate is unchanged.  Same epoch structure as ``timed`` (the
-        window-lottery hardening)."""
+    def timed_streaming(restart, depth=2, n_stream=6, epochs=3, reps=3,
+                        gap_s=25.0):
+        """Round-5 headline protocol: STEADY-STATE STREAMING throughput
+        via the library's own ``stream_solve`` — a stream of ``n_stream``
+        batched solves drained with ``depth`` dispatched ahead (JAX async
+        dispatch overlaps the per-call host/tunnel overhead with device
+        compute, exactly how a production pipeline drains a problem
+        queue).  Each yield is fenced by the helper's smallest-leaf host
+        transfer (the 2 KB per-lane iteration counts; since round 5 the
+        packed solver's unpack runs inside the jitted core, so all
+        outputs come from ONE executable and any leaf is a complete
+        fence — the 400 KB solution array stays on device, as in
+        production).  ``n_stream > depth`` makes the in-loop fence path
+        dominate, i.e. the measured regime is the steady state, not a
+        dispatch burst (streaming_probe.py measured the burst regime
+        ~25% slower).  Solutions are fetched ONCE after timing and
+        residual-rechecked, so the accuracy gate is unchanged.  Same
+        epoch structure as ``timed`` (the window-lottery hardening)."""
+        from proxtpu.parallel import stream_solve
+
         xs_dev, iters_dev, done_dev = solve_dev(restart)  # compile + warm
         _ = np.asarray(iters_dev)
         times = []
@@ -234,10 +264,11 @@ def run_jax(As, bs, lams, Lfs):
             et = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                outs = [solve_dev(restart) for _ in range(depth)]
-                for _, iters_dev, _d in outs:
-                    np.asarray(iters_dev)
-                et.append((time.perf_counter() - t0) / depth)
+                outs = list(stream_solve(
+                    lambda _p: solve_dev(restart), range(n_stream),
+                    depth=depth,
+                ))
+                et.append((time.perf_counter() - t0) / n_stream)
             times += et
             epoch_medians.append(BATCH / float(np.median(et)))
         dt = float(np.median(times))
@@ -264,15 +295,24 @@ def run_jax(As, bs, lams, Lfs):
     parity = timed(restart=False)
 
     # fixed-iteration timing on the headline kernel: tol=0 forces every
-    # lane to run exactly maxit iterations
+    # lane to run exactly maxit iterations.  The MARGINAL per-iteration
+    # cost subtracts a maxit=1 run, so the ~38 ms per-call dispatch and
+    # the xs-fence transfer cancel instead of inflating the figure ~2x
+    # (round-5 review fix; matches streaming_probe.py's decomposition)
     fixed_it = 512
-    solve(True, tol=0.0, maxit=fixed_it)  # compile this variant
-    t_fixed = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        solve(True, tol=0.0, maxit=fixed_it)
-        t_fixed.append(time.perf_counter() - t0)
-    per_iter_us = float(np.median(t_fixed)) / fixed_it * 1e6
+
+    def _median_wall(maxit):
+        solve(True, tol=0.0, maxit=maxit)  # compile this variant
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            solve(True, tol=0.0, maxit=maxit)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    per_iter_us = (
+        (_median_wall(fixed_it) - _median_wall(1)) / (fixed_it - 1) * 1e6
+    )
 
     return headline, headline_fenced, parity, per_iter_us, platform
 
@@ -295,13 +335,14 @@ def main():
                 "value": round(headline["pps"], 3),
                 "unit": f"problems/s ({M}x{N} lasso to tol={TOL}, "
                 f"batch={BATCH}, {platform}; adaptive-restart packed FISTA "
-                f"kernel, STREAMING protocol: depth-2 pipelined dispatch "
-                f"fenced per rep on per-lane iteration counts, solutions "
+                f"kernel under one outer jit, STREAMING protocol: 6-solve "
+                f"stream_solve drain (depth 2) fenced on per-lane "
+                f"iteration counts, solutions "
                 f"fetched post-timing and residual-rechecked <=1.1*tol; "
                 f"median of 3x3 reps across sleep-separated epochs "
                 f"(window-lottery hardening), IQR "
                 f"{100 * headline['rel_iqr']:.0f}%, "
-                f"{per_iter_us:.0f} us/iter fixed-512-it; single-solve "
+                f"{per_iter_us:.0f} us/iter marginal (512-vs-1 fixed-it); single-solve "
                 f"xs-fenced protocol (r1-4 semantics) "
                 f"{headline_fenced['pps']:.0f} p/s restart / "
                 f"{parity['pps']:.0f} p/s textbook; baseline "

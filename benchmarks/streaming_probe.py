@@ -38,16 +38,14 @@ M, N, B = 200, 400, 256
 TOL = 1e-5
 
 
-def gen(batch, m=M, n=N, seed=0):
-    rng = np.random.default_rng(seed)
-    As = (rng.standard_normal((batch, m, n)) / np.sqrt(m)).astype(np.float32)
-    bs = rng.standard_normal((batch, m)).astype(np.float32)
-    lams = 0.1 * np.max(
-        np.abs(np.einsum("bmn,bm->bn", As, bs)), axis=1
-    ).astype(np.float32)
-    Lfs = np.array(
-        [np.linalg.norm(As[i], 2) ** 2 for i in range(batch)], np.float32
-    )
+def gen(batch):
+    """The EXACT headline workload: reuse bench.py's generator (same
+    M/N/seed/lam/Lf recipe) so the decomposition keeps describing the
+    number the driver records — a separate copy could silently drift."""
+    import bench
+
+    assert (bench.M, bench.N) == (M, N) and bench.TOL == TOL
+    As, bs, lams, Lfs = bench.gen_problems(batch)
     return tuple(map(jnp.asarray, (As, bs, lams, Lfs)))
 
 
@@ -92,18 +90,28 @@ def main():
         }), flush=True)
 
     # --- pipelined dispatch (stream_solve) -----------------------------
-    for depth in (2, 4, 8):
-        list(stream_solve(lambda _: solve_dev(), range(depth), depth=depth))
+    # 3*depth problems per run, so the IN-LOOP fence path executes and
+    # the steady-state regime (depth+1 calls in flight at each fence) is
+    # what gets measured — with n_problems == depth everything would
+    # dispatch up front and only the drain loop would fence, i.e. an
+    # off-by-one-lighter pipeline than real stream_solve use (r5 review)
+    for depth in (1, 2, 4, 8):
+        n_probs = 3 * depth
+        list(stream_solve(
+            lambda _: solve_dev(), range(n_probs), depth=depth
+        ))
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             list(stream_solve(
-                lambda _: solve_dev(), range(depth), depth=depth
+                lambda _: solve_dev(), range(n_probs), depth=depth
             ))
-            ts.append((time.perf_counter() - t0) / depth)
+            ts.append((time.perf_counter() - t0) / n_probs)
         print(json.dumps({
             "variant": f"pipelined_depth{depth}",
-            "problems_per_sec": B / med(ts), "median_s_per_solve": med(ts),
+            "problems_per_sec": B / med(ts),
+            "median_s_per_solve": med(ts),
+            "n_problems_per_run": n_probs,
         }), flush=True)
 
     # --- overhead decomposition ----------------------------------------
@@ -130,25 +138,35 @@ def main():
     print(json.dumps(decomp), flush=True)
 
     # --- per-iteration cost vs batch width (natural-layout kernel) -----
+    # MARGINAL cost: subtract a maxit=1 run at each width, so the ~38 ms
+    # constant per-call overhead doesn't flatten the width scaling this
+    # section exists to bound (r5 review; same subtraction as the
+    # overhead-decomposition block above)
     for bw in (32, 64, 128, 256):
         Aw, bw_, lamw, Lfw = gen(bw)
         fix = 256
 
-        def run():
-            xs, it, dn = solve_lasso_batch(
-                Aw, bw_, lamw, Lfw, 0.0, maxit=fix, restart=True
-            )
-            return np.asarray(it)
+        def wall(maxit):
+            def run():
+                xs, it, dn = solve_lasso_batch(
+                    Aw, bw_, lamw, Lfw, 0.0, maxit=maxit, restart=True
+                )
+                return np.asarray(it)
 
-        run()
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
             run()
-            ts.append(time.perf_counter() - t0)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run()
+                ts.append(time.perf_counter() - t0)
+            return med(ts)
+
+        w_fix, w_1 = wall(fix), wall(1)
         print(json.dumps({
             "variant": f"per_iter_vs_width_B{bw}",
-            "per_iter_us": med(ts) / fix * 1e6,
+            "per_iter_us": (w_fix - w_1) / (fix - 1) * 1e6,
+            "total_ms_fixed": w_fix * 1e3,
+            "overhead_ms_maxit1": w_1 * 1e3,
             "fixed_iters": fix,
         }), flush=True)
 
@@ -221,9 +239,13 @@ def main():
         Z_inst, K = inst(Y)
         Z_inst, K = np.asarray(Z_inst), np.asarray(K)
         parity = float(np.max(np.abs(Z_lib - Z_inst)))
-        assert parity == 0.0, parity  # identical algebra, identical result
+        # the two programs compile separately (the counter changes the
+        # carry), so XLA may legally round differently by a ulp, which
+        # can flip a restart decision on a knife-edge lane — gate at the
+        # f32 solution-accuracy floor instead of demanding bitwise zero
+        assert parity < 1e-5, parity
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             _, K_ = inst(Y)
             np.asarray(K_)

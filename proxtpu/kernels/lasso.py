@@ -1466,12 +1466,15 @@ def solve_lasso_batch_packed(
     x0 = jnp.zeros((B, N), dtype) if x0 is None else \
         jnp.asarray(x0, dtype).reshape(B, N)
     x0p = _pack_rows(x0, pack, nfull)
-    z, iters, done = _solve_packed_core(
+    # the output unpack/reshape live INSIDE the jitted core, so all three
+    # outputs come from one executable — materializing any of them (e.g.
+    # the 2 KB iteration counts as a completion fence, see
+    # proxtpu/parallel/stream.py) proves the whole solve finished
+    return _solve_packed_core(
         Ap, bp, jnp.asarray(lam), jnp.asarray(Lf), tol, x0p,
         N=N, pack=pack, maxit=maxit, interpret=interpret, restart=restart,
         mf=mf, step_mult=step_mult, stall_patience=stall_patience,
     )
-    return (_unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B))
 
 
 @partial(
@@ -1484,11 +1487,12 @@ def _solve_packed_core(
     mf=None, step_mult=1.0, stall_patience=100,
 ):
     """Jitted packed-FISTA core over pre-packed operands (see
-    :func:`solve_lasso_batch_packed`).  Returns packed (z, iters, done)
-    with per-problem arrays shaped (Bp, pack).  ``step_mult != 1`` runs
-    the over-relaxed + stall-safeguard variant (same semantics as
-    :func:`_solve_lasso_batch_overrelaxed`, canonical stopping
-    criterion)."""
+    :func:`solve_lasso_batch_packed`).  Returns UNPACKED
+    ``(xs (B, N), iters (B,), done (B,))`` — the unpack runs inside this
+    one executable so any output leaf is a complete completion fence.
+    ``step_mult != 1`` runs the over-relaxed + stall-safeguard variant
+    (same semantics as :func:`_solve_lasso_batch_overrelaxed`, canonical
+    stopping criterion)."""
     Bp, M, W = Ap.shape
     B = Bp * pack
     dtype = Ap.dtype
@@ -1502,10 +1506,12 @@ def _solve_packed_core(
             (1.0 / jnp.asarray(Lf)).astype(dtype), (B,)).reshape(Bp, pack)
         lam_p = jnp.broadcast_to(
             jnp.asarray(lam, dtype), (B,)).reshape(Bp, pack)
-        return _solve_packed_overrelaxed(
+        z, iters, done = _solve_packed_overrelaxed(
             Ap, bp, lam_p, gamma0_p, gamma_p, tol, x0p, N=N, pack=pack,
             maxit=maxit, interpret=interpret, stall_patience=stall_patience,
         )
+        return (_unpack_rows(z, pack, N), iters.reshape(B),
+                done.reshape(B))
     zeros_b = jnp.zeros((Bp, pack), dtype)
     # init FB step = the packed step with beta = 0 (x_new == z); the
     # restart signal at zp=x0 is -(x-z)^2 <= 0, so no spurious reset
@@ -1558,7 +1564,7 @@ def _solve_packed_core(
 
     k, x, z, t, done, iters = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(done, iters, k)
-    return z, iters, done
+    return _unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B)
 
 
 def _solve_packed_overrelaxed(

@@ -4,12 +4,12 @@ The round-5 per-call decomposition of the flagship batched solve
 (``benchmarks/streaming_probe.py`` ->
 ``benchmarks/results_streaming.jsonl``; BASELINE.md "Streaming headline
 protocol") found the wall on a tunnel-attached chip is dominated by
-per-call host overhead (38.3 ms dispatch + 13.8 ms solution-transfer
-fence vs 98.7 us/iteration of device compute).  JAX dispatch is
+per-call host overhead (31.2 ms dispatch + 14.2 ms solution-transfer
+fence vs 107 us/iteration of device compute).  JAX dispatch is
 asynchronous, so a producer that keeps ``depth`` solves in flight
 overlaps one call's host overhead with another's device compute —
-measured 2.8x end-to-end on ``bench.py``'s headline batch (1833 -> 5187
-problems/s, identical solutions).
+committed steady-state record: 3389 p/s fenced-each -> 6867 p/s at
+depth 2, identical solutions.
 
 :func:`stream_solve` packages that pattern: it drains an iterable of
 problem payloads through a solve callable, keeping up to ``depth`` calls
@@ -38,12 +38,18 @@ import numpy as np
 
 def _smallest_leaf_fence(out):
     """Block until ``out`` is materialized by host-transferring its
-    smallest array leaf (complete: all outputs of an XLA executable are
-    defined by the same completion event)."""
-    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "size")]
+    smallest DEVICE leaf (complete: all outputs of an XLA executable are
+    defined by the same completion event).  Host-side leaves (numpy
+    arrays, Python scalars) and zero-size arrays are excluded — fencing
+    on one would return instantly without any device sync and silently
+    void the depth backpressure."""
+    leaves = [
+        l for l in jax.tree.leaves(out)
+        if isinstance(l, jax.Array) and l.size > 0
+    ]
     if not leaves:
         return
-    np.asarray(min(leaves, key=lambda l: l.size))
+    np.asarray(min(leaves, key=lambda l: l.nbytes))
 
 
 def stream_solve(solve, problems, depth=2, fence=_smallest_leaf_fence):
@@ -53,24 +59,35 @@ def stream_solve(solve, problems, depth=2, fence=_smallest_leaf_fence):
     ``solve`` must be an async-dispatching device function (a jitted
     solver / kernel path); its output pytree is yielded as-is (device
     arrays — transfer only what you consume).  ``depth=2`` is the
-    measured sweet spot on the tunnel (deeper queues contend: 5195 /
-    4983 / 4665 p/s at depth 2/4/8, ``results_streaming.jsonl``);
-    ``depth=0`` degrades to fully synchronous execution.
+    measured sweet spot on the tunnel (committed steady-state record:
+    5953 / 6867 / 6791 / 6594 p/s at depth 1/2/4/8,
+    ``results_streaming.jsonl`` — beyond 2 buys nothing); ``depth=0``
+    degrades to fully synchronous execution.
 
     ``fence(out)`` blocks until ``out``'s computation finished; the
-    default transfers the smallest output leaf.  Pass a custom fence to
-    also post-process while the pipeline drains.
+    default transfers the smallest device-array output leaf.  Pass a
+    custom fence to also post-process while the pipeline drains.
+
+    The solve callable must return at least one non-empty ``jax.Array``
+    leaf for the default fence to have anything to block on; outputs that
+    are entirely host-side make the fence (and the backpressure) a no-op.
     """
     if depth < 0:
         raise ValueError(f"depth must be >= 0, got {depth}")
-    q = deque()
-    for p in problems:
-        q.append(solve(p))
-        if len(q) > depth:
+
+    def _gen():
+        q = deque()
+        for p in problems:
+            q.append(solve(p))
+            if len(q) > depth:
+                out = q.popleft()
+                fence(out)
+                yield out
+        while q:
             out = q.popleft()
             fence(out)
             yield out
-    while q:
-        out = q.popleft()
-        fence(out)
-        yield out
+
+    # validate at call time, not at first next() (generator semantics
+    # would otherwise defer the ValueError far from the call site)
+    return _gen()

@@ -11,9 +11,13 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
 ``timed_streaming``):
 
 * **headline** — the library's best validated distinct-A path under the
-  PRODUCTION EXECUTION MODEL: ``solve_lasso_batch_packed(restart=True)``
+  PRODUCTION EXECUTION MODEL:
+  ``solve_lasso_batch_packed_tail(restart=True, k1=192, tail=64)``
   (per-lane O'Donoghue-Candès adaptive restart, in-kernel,
-  zero-lane-padding packed A stream), measured as STREAMING throughput —
+  zero-lane-padding packed A stream for the bulk, then the unconverged
+  tail gathered into a 64-lane narrow continuation — in-jit ``lax.cond``
+  fallback to full width if the tail overflows), measured as STREAMING
+  throughput —
   a 6-solve stream drained through ``proxtpu.parallel.stream_solve``
   with depth 2 dispatched ahead (JAX async dispatch overlaps the
   per-call tunnel/host overhead, ~31 ms/call on this tunnel, with
@@ -152,6 +156,7 @@ def run_jax(As, bs, lams, Lfs):
     from proxtpu.kernels.lasso import (
         solve_lasso_batch,
         solve_lasso_batch_packed,
+        solve_lasso_batch_packed_tail,
     )
 
     platform = jax.devices()[0].platform
@@ -165,7 +170,7 @@ def run_jax(As, bs, lams, Lfs):
 
     _jitted = {}
 
-    def solve_dev(restart, tol=TOL, maxit=MAXIT):
+    def solve_dev(restart, tol=TOL, maxit=MAXIT, use_tail=False):
         """Dispatch one batched solve; results stay on device.
 
         The whole solver call is wrapped in ONE outer ``jax.jit`` (it is
@@ -175,14 +180,20 @@ def run_jax(As, bs, lams, Lfs):
         and a few ms of host path per call (measured +26% steady-state
         streaming throughput, bit-identical solutions; BASELINE.md
         round-5 streaming section)."""
-        if use_kernel:
-            # headline path: packed zero-padding kernel (falls back to the
-            # natural layout internally when N is already lane-aligned)
-            key = (True, restart, tol, maxit)
-        else:
-            key = (False, restart, tol, maxit)
+        key = (use_kernel, use_tail, restart, tol, maxit)
         if key not in _jitted:
-            if use_kernel:
+            if use_kernel and use_tail:
+                # headline path: packed bulk + narrow tail continuation
+                # (k1/tail tuned to this workload's convergence profile —
+                # 192 iterations leave ~31 of 256 lanes, streaming_probe;
+                # the in-jit wide fallback covers any mis-tune)
+                _jitted[key] = jax.jit(partial(
+                    solve_lasso_batch_packed_tail, tol=tol, maxit=maxit,
+                    k1=192, tail=64, restart=restart,
+                ))
+            elif use_kernel:
+                # packed zero-padding kernel (falls back to the natural
+                # layout internally when N is already lane-aligned)
                 _jitted[key] = jax.jit(partial(
                     solve_lasso_batch_packed, tol=tol, maxit=maxit,
                     restart=restart,
@@ -254,7 +265,8 @@ def run_jax(As, bs, lams, Lfs):
         epoch structure as ``timed`` (the window-lottery hardening)."""
         from proxtpu.parallel import stream_solve
 
-        xs_dev, iters_dev, done_dev = solve_dev(restart)  # compile + warm
+        xs_dev, iters_dev, done_dev = solve_dev(
+            restart, use_tail=use_kernel)  # compile + warm
         _ = np.asarray(iters_dev)
         times = []
         epoch_medians = []
@@ -265,8 +277,8 @@ def run_jax(As, bs, lams, Lfs):
             for _ in range(reps):
                 t0 = time.perf_counter()
                 outs = list(stream_solve(
-                    lambda _p: solve_dev(restart), range(n_stream),
-                    depth=depth,
+                    lambda _p: solve_dev(restart, use_tail=use_kernel),
+                    range(n_stream), depth=depth,
                 ))
                 et.append((time.perf_counter() - t0) / n_stream)
             times += et
@@ -335,7 +347,8 @@ def main():
                 "value": round(headline["pps"], 3),
                 "unit": f"problems/s ({M}x{N} lasso to tol={TOL}, "
                 f"batch={BATCH}, {platform}; adaptive-restart packed FISTA "
-                f"kernel under one outer jit, STREAMING protocol: 6-solve "
+                f"kernel + 64-lane tail continuation under one outer jit, "
+                f"STREAMING protocol: 6-solve "
                 f"stream_solve drain (depth 2) fenced on per-lane "
                 f"iteration counts, solutions "
                 f"fetched post-timing and residual-rechecked <=1.1*tol; "

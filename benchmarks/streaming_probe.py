@@ -170,6 +170,36 @@ def main():
             "fixed_iters": fix,
         }), flush=True)
 
+    # --- tail-continuation A/B (steady-state stream, outer jit) --------
+    # the two-phase solver vs the single-phase packed solve, both under
+    # one jax.jit, drained through stream_solve (the headline regime)
+    from functools import partial as _partial
+
+    from proxtpu.kernels.lasso import solve_lasso_batch_packed_tail
+
+    for name, fn in (
+        ("single_phase", jax.jit(_partial(
+            solve_lasso_batch_packed, tol=TOL, maxit=2000, restart=True))),
+        ("tail_k192_t64", jax.jit(_partial(
+            solve_lasso_batch_packed_tail, tol=TOL, maxit=2000, k1=192,
+            tail=64, restart=True))),
+    ):
+        out = fn(A, b, lam, Lf)
+        np.asarray(out[1])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(stream_solve(
+                lambda _p: fn(A, b, lam, Lf), range(6), depth=2))
+            ts.append((time.perf_counter() - t0) / 6)
+        xs, iters, done = (np.asarray(o) for o in fn(A, b, lam, Lf))
+        print(json.dumps({
+            "variant": f"outer_jit_stream_{name}",
+            "problems_per_sec": B / med(ts),
+            "max_it": int(iters.max()),
+            "all_done": bool(done.all()),
+        }), flush=True)
+
     # --- TV1D dual iterations with/without restart ---------------------
     # The library prox does not return iteration counts, so this block
     # runs an INSTRUMENTED copy of the same dual loop (identical update

@@ -1645,3 +1645,78 @@ def _solve_packed_overrelaxed(
     k, x, z, t, done, iters = out[:6]
     iters = jnp.where(done, iters, k)
     return z, iters, done
+
+
+def solve_lasso_batch_packed_tail(
+    A, b, lam, Lf, tol, maxit=2000, k1=192, tail=64, restart=True,
+    interpret=False,
+):
+    """Two-phase batched FISTA: full-width packed bulk, then a NARROW
+    continuation for the unconverged tail (round 5).
+
+    The corrected width study (``benchmarks/results_streaming.jsonl``
+    ``per_iter_vs_width_*`` rows) showed the marginal per-iteration cost
+    is nearly linear in live batch width (~0.7 us/lane/iter), while the
+    convergence tail is sparse: on the flagship 256-lane batch, 192
+    iterations leave ~31 lanes running but the slowest lane needs ~285.
+    Running those last ~90 iterations at full width wastes ~88% of the
+    stream.  This solver:
+
+    1. runs :func:`solve_lasso_batch_packed` for ``k1`` iterations
+       (same stopping rule — converged lanes freeze);
+    2. counts the unconverged lanes ON DEVICE (no host sync) and takes a
+       ``lax.cond``:
+       - if ``<= tail``: gathers the ``tail`` slowest lanes (unconverged
+         first, by a stable argsort of the done mask — already-converged
+         fill lanes freeze after one residual check) and continues them
+         warm-started on the natural-layout kernel at width ``tail``;
+       - else: continues ALL lanes warm-started at full width (the
+         safe fallback — same cost as not tailing, plus ``k1``'s
+         phase-boundary restart).
+    3. scatters the tail solutions back.
+
+    Everything is traceable (designed to live under ONE outer ``jax.jit``
+    like the headline solve, so the whole two-phase solve is a single
+    executable).  Same stopping criterion per phase; the warm restart at
+    the phase boundary resets Nesterov momentum (the r3 mixed-precision
+    study measured boundary restarts neutral-to-helpful).  Reported
+    per-lane iteration counts are ``k1 + phase2`` for tail lanes —
+    comparable but not identical to the single-phase counts.
+
+    Returns ``(xs (B, N), iters (B,), done (B,))``.
+    """
+    B, M, N = A.shape
+    if not 0 < tail <= B:
+        raise ValueError(f"tail must be in (0, {B}], got {tail}")
+    k1 = min(k1, maxit)  # a small maxit caps phase 1, not the reverse
+    xs1, it1, dn1 = solve_lasso_batch_packed(
+        A, b, lam, Lf, tol, maxit=k1, restart=restart, interpret=interpret,
+    )
+    if k1 >= maxit:
+        return xs1, it1, dn1
+    n_unconverged = B - jnp.sum(dn1)
+    order = jnp.argsort(dn1, stable=True)  # False (unconverged) first
+    idx = order[:tail]
+
+    def narrow(_):
+        xs2, it2, dn2 = solve_lasso_batch(
+            A[idx], b[idx], lam[idx], Lf[idx], tol, maxit=maxit - k1,
+            restart=restart, x0=xs1[idx],
+            use_kernel=not interpret, interpret=interpret,
+        )
+        xs = xs1.at[idx].set(xs2)
+        iters = it1.at[idx].add(jnp.where(dn1[idx], 0, it2))
+        done = dn1.at[idx].set(dn1[idx] | dn2)
+        return xs, iters, done
+
+    def wide(_):
+        xs2, it2, dn2 = solve_lasso_batch_packed(
+            A, b, lam, Lf, tol, maxit=maxit - k1, restart=restart,
+            x0=xs1, interpret=interpret,
+        )
+        xs = jnp.where(dn1[:, None], xs1, xs2)
+        iters = jnp.where(dn1, it1, it1 + it2)
+        done = dn1 | dn2
+        return xs, iters, done
+
+    return jax.lax.cond(n_unconverged <= tail, narrow, wide, None)

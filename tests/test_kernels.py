@@ -760,3 +760,53 @@ def test_elastic_net_lam2_validation():
     with pytest.raises(ValueError, match="lam2"):
         solve_lasso_batch(A, b, lam1, Lf, 1e-5, lam2=lam2, restart=True,
                           step_mult=1.5)
+
+
+def test_packed_tail_solver():
+    """Two-phase tail solver (round 5): both cond branches converge every
+    lane to the shared criterion; solutions sit in the same tol-ball as
+    the single-phase solve; phase-boundary restart may change counts."""
+    from proxtpu.kernels.lasso import (
+        solve_lasso_batch_packed,
+        solve_lasso_batch_packed_tail,
+    )
+
+    rng = np.random.default_rng(5)
+    Bq, Mq, Nq = 8, 16, 160
+    A = jnp.asarray((rng.standard_normal((Bq, Mq, Nq)) / np.sqrt(Mq))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((Bq, Mq)).astype(np.float32))
+    lam = jnp.asarray(0.1 * np.max(np.abs(np.einsum(
+        "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1), jnp.float32)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(Bq)], jnp.float32)
+    tol = 1e-5
+    z0, i0, d0 = solve_lasso_batch_packed(
+        A, b, lam, Lf, tol, maxit=3000, interpret=True, restart=True)
+    # narrow branch: k1 past the median, tail wide enough
+    z1, i1, d1 = solve_lasso_batch_packed_tail(
+        A, b, lam, Lf, tol, maxit=3000, k1=int(np.median(np.asarray(i0))),
+        tail=Bq // 2, restart=True, interpret=True)
+    assert bool(jnp.all(d1))
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z1))) <= 1.1 * tol
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-3)
+    # wide fallback branch: k1 tiny so the tail cannot fit
+    z2, i2, d2 = solve_lasso_batch_packed_tail(
+        A, b, lam, Lf, tol, maxit=3000, k1=5, tail=1, restart=True,
+        interpret=True)
+    assert bool(jnp.all(d2))
+    assert float(jnp.max(_fb_residual(A, b, lam, Lf, z2))) <= 1.1 * tol
+    # k1 >= maxit degrades to the single-phase solve
+    z3, i3, d3 = solve_lasso_batch_packed_tail(
+        A, b, lam, Lf, tol, maxit=100, k1=100, tail=4, restart=True,
+        interpret=True)
+    assert (np.asarray(i3) <= 100).all()
+    # maxit < k1: phase 1 is capped at maxit (regression: it used to run
+    # the full k1 iterations)
+    z4, i4, d4 = solve_lasso_batch_packed_tail(
+        A, b, lam, Lf, 1e-12, maxit=7, k1=100, tail=4, restart=True,
+        interpret=True)
+    assert (np.asarray(i4) <= 7).all()
+    with np.testing.assert_raises(ValueError):
+        solve_lasso_batch_packed_tail(
+            A, b, lam, Lf, tol, tail=0, interpret=True)

@@ -22,10 +22,10 @@ Configurations measured every round (round-5 protocol; see ``timed`` /
   with depth 2 dispatched ahead (JAX async dispatch overlaps the
   per-call tunnel/host overhead, ~31 ms/call on this tunnel, with
   device compute — exactly how a pipeline drains a problem queue), each
-  yield fenced by a host transfer of the per-lane iteration counts
-  (2 KB, a complete fence: the packed solver's outputs all come from
-  one executable; the 400 KB solution stays on device as in
-  production).
+  yield fenced by ``stream_solve``'s smallest-leaf host transfer (the
+  256-byte per-lane done mask — a complete fence: the packed solver's
+  outputs all come from one executable; the 400 KB solution stays on
+  device as in production).
   Same stopping rule as everything else
   (``||x - z||_inf / gamma <= tol``); solutions are fetched once after
   timing and an inlined residual recheck asserts every returned lane's
@@ -253,7 +253,7 @@ def run_jax(As, bs, lams, Lfs):
         dispatch overlaps the per-call host/tunnel overhead with device
         compute, exactly how a production pipeline drains a problem
         queue).  Each yield is fenced by the helper's smallest-leaf host
-        transfer (the 2 KB per-lane iteration counts; since round 5 the
+        transfer (the 256-byte per-lane done mask; since round 5 the
         packed solver's unpack runs inside the jitted core, so all
         outputs come from ONE executable and any leaf is a complete
         fence — the 400 KB solution array stays on device, as in
@@ -349,8 +349,8 @@ def main():
                 f"batch={BATCH}, {platform}; adaptive-restart packed FISTA "
                 f"kernel + 64-lane tail continuation under one outer jit, "
                 f"STREAMING protocol: 6-solve "
-                f"stream_solve drain (depth 2) fenced on per-lane "
-                f"iteration counts, solutions "
+                f"stream_solve drain (depth 2) fenced on the smallest "
+                f"output leaf, solutions "
                 f"fetched post-timing and residual-rechecked <=1.1*tol; "
                 f"median of 3x3 reps across sleep-separated epochs "
                 f"(window-lottery hardening), IQR "

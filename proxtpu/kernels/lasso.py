@@ -1510,8 +1510,7 @@ def _solve_packed_core(
             Ap, bp, lam_p, gamma0_p, gamma_p, tol, x0p, N=N, pack=pack,
             maxit=maxit, interpret=interpret, stall_patience=stall_patience,
         )
-        return (_unpack_rows(z, pack, N), iters.reshape(B),
-                done.reshape(B))
+        return _unpack_rows(z, pack, N), iters.reshape(B), done.reshape(B)
     zeros_b = jnp.zeros((Bp, pack), dtype)
     # init FB step = the packed step with beta = 0 (x_new == z); the
     # restart signal at zp=x0 is -(x-z)^2 <= 0, so no spurious reset
@@ -1689,6 +1688,10 @@ def solve_lasso_batch_packed_tail(
     if not 0 < tail <= B:
         raise ValueError(f"tail must be in (0, {B}], got {tail}")
     k1 = min(k1, maxit)  # a small maxit caps phase 1, not the reverse
+    # scalar lam/Lf are accepted (like the packed solver, which
+    # broadcasts internally) — the gather below needs (B,) arrays
+    lam = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (B,))
+    Lf = jnp.broadcast_to(jnp.asarray(Lf, A.dtype), (B,))
     xs1, it1, dn1 = solve_lasso_batch_packed(
         A, b, lam, Lf, tol, maxit=k1, restart=restart, interpret=interpret,
     )
@@ -1704,6 +1707,11 @@ def solve_lasso_batch_packed_tail(
             restart=restart, x0=xs1[idx],
             use_kernel=not interpret, interpret=interpret,
         )
+        # keep the CERTIFIED phase-1 solution for fill lanes that were
+        # already done — the natural-layout kernel's reduction order can
+        # re-check an at-threshold residual just above tol, and phase 2
+        # must not replace a certified iterate with an uncertified one
+        xs2 = jnp.where(dn1[idx][:, None], xs1[idx], xs2)
         xs = xs1.at[idx].set(xs2)
         iters = it1.at[idx].add(jnp.where(dn1[idx], 0, it2))
         done = dn1.at[idx].set(dn1[idx] | dn2)

@@ -20,7 +20,7 @@ backend (BASELINE.md measurement notes), so completion is proven by a
 host transfer.  XLA executables complete atomically — every output
 buffer of a call is defined at the same completion event — so
 transferring the SMALLEST output leaf (for the batched solvers: the
-per-lane iteration counts, a few KB) is a complete fence, and the big
+256-byte per-lane done mask) is a complete fence, and the big
 solution arrays stay on device until the consumer touches them.
 
 The reference has no counterpart (its benchmark harness is synchronous,

@@ -810,3 +810,10 @@ def test_packed_tail_solver():
     with np.testing.assert_raises(ValueError):
         solve_lasso_batch_packed_tail(
             A, b, lam, Lf, tol, tail=0, interpret=True)
+    # scalar lam/Lf accepted like the packed solver (regression: the
+    # narrow-branch gather used to crash on non-array parameters)
+    z5, i5, d5 = solve_lasso_batch_packed_tail(
+        A, b, 0.05, float(jnp.max(Lf)), tol, maxit=3000,
+        k1=int(np.median(np.asarray(i0))), tail=4, restart=True,
+        interpret=True)
+    assert bool(jnp.all(d5))

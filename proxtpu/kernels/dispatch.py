@@ -123,7 +123,12 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
         check_every=int(check_every),
     )
     if accel:
-        opts["mf"] = float(kwargs.get("mf", 0.0) or 0.0)
+        # array-valued mf (per-lane strong convexity) has no flat route;
+        # fall back instead of tripping over array truthiness (r5 review)
+        mf_val = kwargs.get("mf", 0.0)
+        if mf_val is not None and np.ndim(mf_val) != 0:
+            return None
+        opts["mf"] = float(mf_val or 0.0)
 
     return lambda: run_fn(f, g, x0, tol, **opts)
 
@@ -448,8 +453,16 @@ def match_tv_solver(factory, kwargs, *, tol, maxit, stop=None,
 
     from .tv import solve_tv_batch
 
-    on_tpu = _is_default_backend_tpu() if interpret is None else True
-    use_kernel = bool(on_tpu)
+    # interpret=True forces the interpret-mode branch regardless of
+    # backend; interpret=False/None defer to the real backend (round-5
+    # review: `else True` used to compile real Pallas kernels on CPU
+    # when a caller passed interpret=False explicitly)
+    on_tpu = True if interpret is True else _is_default_backend_tpu()
+    # the real TV kernel is f32-only (Mosaic cannot lower f64 on TPU);
+    # f64 stacks ride the pure-XLA step (r5 review)
+    use_kernel = bool(on_tpu) and (
+        interpret is True or jnp.asarray(b).dtype == jnp.float32
+    )
 
     return lambda: solve_tv_batch(
         b, lam, tol, maxit=maxit, iter_block=iter_block, gamma1=gamma1,
@@ -533,7 +546,11 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
     name = getattr(factory, "__name__", "")
 
     # interpret=None: real kernel on TPU, pure-XLA einsum step elsewhere
-    on_tpu = _is_default_backend_tpu() if interpret is None else True
+    # interpret=True forces the interpret-mode branch regardless of
+    # backend; interpret=False/None defer to the real backend (round-5
+    # review: `else True` used to compile real Pallas kernels on CPU
+    # when a caller passed interpret=False explicitly)
+    on_tpu = True if interpret is True else _is_default_backend_tpu()
 
     if name == "make_fast_forward_backward_iteration":
         from ..prox.functions import (
@@ -659,8 +676,14 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
         if np.shape(x0) != (A.shape[0], A.shape[2]):
             return None
 
+        # the real Pallas kernels are f32-only (Mosaic cannot lower f64
+        # on TPU); f64 problems — the jax_enable_x64 reference-tolerance
+        # workload — take the pure-XLA branch below (r5 review)
+        kernels_ok = (on_tpu and interpret is not True
+                      and A.dtype == jnp.float32)
+
         def run():
-            if (on_tpu and interpret is not True and dma_bound
+            if (kernels_ok and dma_bound
                     and mf is None and lam2 is None):
                 # (the blocked kernel has no mf/lam2 route; those fall
                 # through to the one-step kernel below)
@@ -668,13 +691,12 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
                     A, b, lam, Lfv, tol, maxit=maxit, iter_block=iter_block,
                     restart=restart, x0=x0_pass,
                 )
-            elif (on_tpu and interpret is not True and not mxu_small
-                    and packable and lam2 is None):
+            elif kernels_ok and not mxu_small and packable and lam2 is None:
                 z, it, done = solve_lasso_batch_packed(
                     A, b, lam, Lfv, tol, maxit=maxit, restart=restart,
                     x0=x0_pass, mf=mf,
                 )
-            elif on_tpu and interpret is not True and not mxu_small:
+            elif kernels_ok and not mxu_small:
                 z, it, done = solve_lasso_batch(
                     A, b, lam, Lfv, tol, maxit=maxit, use_kernel=True,
                     restart=restart, x0=x0_pass, mf=mf, lam2=lam2,
@@ -741,7 +763,8 @@ def match_kernel_solver(factory, kwargs, *, tol, maxit, stop=None,
             return None
 
         def run():
-            if on_tpu and interpret is not True and dma_bound:
+            if (on_tpu and interpret is not True and dma_bound
+                    and Q.dtype == jnp.float32):
                 x, it, done = solve_box_qp_batch_blocked(
                     Q, q, lo, hi, Lip, tol, maxit=maxit,
                     iter_block=iter_block, x0=x0_pass,

@@ -105,10 +105,34 @@ def _flat_adaptive_run(
         trips=jnp.asarray(0, jnp.int32),
     )
 
+    if not 0.0 < reduce_gamma < 1.0:
+        raise ValueError(
+            f"reduce_gamma must be in (0, 1), got {reduce_gamma}"
+        )
     if trip_cap is None:
-        cap = maxit + 64 + int(math.ceil(maxit * max(
-            0.0, math.log2(max(increase_gamma, 1.0))
-        )))
+        # trip budget = accepted steps + the gamma-descent allowance.
+        # Descent trips are counted in units of log(1/reduce_gamma) (the
+        # r4 formula hardcoded log2, i.e. reduce_gamma=0.5, and capped
+        # the initial descent at 64 halvings — r5 review: reduce_gamma
+        # near 1 or a tiny minimum_gamma then hit the cap before lanes
+        # converged, returning uncommitted trial iterates):
+        # - initial descent: from the largest starting gamma down to
+        #   minimum_gamma (concrete gamma0 when available; a generous
+        #   fallback otherwise);
+        # - per-step undo: each accepted step's increase_gamma factor
+        #   must be re-descended before the next acceptance.
+        log_red = math.log(1.0 / reduce_gamma)
+        try:
+            gmax = float(jnp.max(gamma0))
+            n_desc = int(math.ceil(
+                max(0.0, math.log(gmax / minimum_gamma)) / log_red
+            )) + 1
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            n_desc = int(math.ceil(64 * math.log(2.0) / log_red)) + 1
+        n_incr = int(math.ceil(maxit * max(
+            0.0, math.log(increase_gamma)
+        ) / log_red))
+        cap = maxit + n_desc + n_incr
     else:
         cap = trip_cap
 
@@ -132,7 +156,6 @@ def _flat_adaptive_run(
         accept = (s["f_z"] <= upp + slack) | (s["test_gamma"] < minimum_gamma)
         active = jnp.logical_not(s["done"]) & (s["k"] < maxit)
         commit = accept & active
-        halve = jnp.logical_not(accept) & active
 
         # --- committed lanes: advance the base point
         gamma_acc = s["test_gamma"]

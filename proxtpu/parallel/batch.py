@@ -699,8 +699,27 @@ class BatchedAlgorithm:
                 merged["backtrack_limit"] = _default_backtrack_limit(merged)
 
     def __call__(self, **kwargs):
+        import inspect
+
         merged = {**self.kwargs, **kwargs}
-        if self.use_kernels and not self.verbose and not self.halt_nonfinite:
+        # fast-path gate (round-5 review): if the caller passed a kwarg
+        # the factory does not accept, a matcher could recognize the
+        # problem STRUCTURE and silently drop the option (e.g. ``A=`` on
+        # DRLS would solve the A-less problem) — skip the fast path so
+        # the generic driver raises the factory's own TypeError instead
+        try:
+            params = inspect.signature(self.iteration_factory).parameters
+            has_var_kw = any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
+            unknown_kwargs = not has_var_kw and any(
+                k not in params for k in merged
+            )
+        except (TypeError, ValueError):
+            unknown_kwargs = False
+        if (self.use_kernels and not unknown_kwargs
+                and not self.verbose and not self.halt_nonfinite):
             from ..kernels.dispatch import (
                 match_flat_adaptive,
                 match_flat_linesearch,

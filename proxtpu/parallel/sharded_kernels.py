@@ -192,6 +192,14 @@ def sharded_solve_lasso_multirhs(
     B = Bmat.shape[0]
     lam_v = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (B,))
     Lf_s = jnp.asarray(Lf, A.dtype)
+    if Lf_s.ndim != 0:
+        # shared-A formulation: one Lipschitz constant; a per-lane (B,)
+        # value would otherwise surface as an opaque spec mismatch
+        # inside shard_map (r5 review)
+        raise ValueError(
+            f"Lf must be a scalar for the shared-A multirhs wrapper, "
+            f"got shape {Lf_s.shape}"
+        )
     body = partial(solve_lasso_multirhs, tol=tol, maxit=maxit,
                    iter_block=iter_block, restart=restart)
     if x0 is not None:
@@ -227,6 +235,15 @@ def sharded_solve_box_qp_batch(
         raise ValueError(
             f"batch {Q.shape[0]} not divisible by mesh axis {axis}={nd}"
         )
+    for name, v in (("lo", lo), ("hi", hi)):
+        if np.ndim(v) != 0:
+            # lo/hi ride the closure REPLICATED; a per-lane (B,) value
+            # would silently apply the full-batch vector to every local
+            # shard (or break broadcasting) inside shard_map (r5 review)
+            raise ValueError(
+                f"{name} must be lane-uniform (scalar) in the sharded "
+                f"wrapper, got shape {np.shape(v)}"
+            )
 
     if iter_block is not None:
         body = lambda Q_, q_, L_, **kw: solve_box_qp_batch_blocked(
@@ -283,6 +300,15 @@ def sharded_solve_tv_batch(
         raise ValueError(
             f"batch {b.shape[0]} not divisible by mesh axis {axis}={nd}"
         )
+    for name, v in (("gamma1", gamma1), ("gamma2", gamma2)):
+        if v is not None and np.ndim(v) != 0:
+            # stepsizes ride the closure replicated (docstring contract);
+            # validate instead of surfacing an opaque broadcast error
+            # deep inside the sharded trace (r5 review)
+            raise ValueError(
+                f"{name} must be lane-uniform (scalar) in the sharded "
+                f"wrapper, got shape {np.shape(v)}"
+            )
     lam_v = jnp.broadcast_to(jnp.asarray(lam, b.dtype), (b.shape[0],))
 
     body = partial(

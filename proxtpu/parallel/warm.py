@@ -123,11 +123,24 @@ class WarmStartedBatchedAlgorithm:
         )
         # cast the warm solution back leaf-by-leaf to x0's dtypes (pytree
         # iterates are first-class in BatchedAlgorithm, so x0 may be a
-        # tuple/dict of arrays with heterogeneous dtypes)
-        x1 = jax.tree.map(
-            lambda w_, o_: jnp.asarray(w_, jnp.asarray(o_).dtype),
-            xs_warm, x0,
-        )
+        # tuple/dict of arrays with heterogeneous dtypes), DISCARDING any
+        # lane the f32 stage blew up (overflowed cast or diverged
+        # iterate): a NaN/Inf warm start would poison the polish stage,
+        # and the documented contract is that correctness never depends
+        # on the warm stage — such lanes fall back to the cold x0 (r5
+        # review)
+        def _finite_per_lane(w):
+            flat = jnp.reshape(w, (jnp.shape(w)[0], -1))
+            return jnp.all(jnp.isfinite(flat), axis=1)
+
+        def _take_warm(w_, o_):
+            o_arr = jnp.asarray(o_)
+            w_cast = jnp.asarray(w_, o_arr.dtype)
+            ok = _finite_per_lane(w_cast)
+            ok = ok.reshape(ok.shape + (1,) * (w_cast.ndim - 1))
+            return jnp.where(ok, w_cast, jnp.broadcast_to(o_arr,
+                                                          w_cast.shape))
+        x1 = jax.tree.map(_take_warm, xs_warm, x0)
         xs, it2, done = self.polish(x0=x1, **kwargs)
         return xs, it1 + it2, done
 

@@ -136,3 +136,30 @@ def test_flat_fb_maxit_cap():
     z, iters, done = batched_adaptive_fb(f, g, x0, 0.0, maxit=7)
     assert not bool(jnp.any(done))
     assert all(int(i) == 7 for i in iters)
+
+
+def test_flat_fb_nonhalving_reduce_gamma_converges():
+    """r5 review: the default trip cap hardcoded log2 (reduce_gamma=0.5)
+    and a 64-halving descent allowance — with reduce_gamma=0.9 and the
+    regret rule the loop used to hit the cap and return uncommitted
+    trial iterates.  The cap now budgets in log(1/reduce_gamma) units."""
+    A, b, lam = problems()
+    f, g = stacked_fg(A, b, lam)
+    x0 = jnp.zeros((B, N), jnp.float64)
+    z, iters, done = batched_adaptive_fb(
+        f, g, x0, TOL, maxit=5000, reduce_gamma=0.9, increase_gamma=1.1,
+        gamma0=jnp.full((B,), 0.05),
+    )
+    assert bool(jnp.all(done)), np.asarray(done)
+    solver = pa.ForwardBackward(tol=TOL, maxit=5000, adaptive=True,
+                                reduce_gamma=0.9, increase_gamma=1.1)
+    for i in range(B):
+        x, it = solver(
+            x0=jnp.zeros(N, jnp.float64),
+            f=LeastSquaresLoss(A[i], b[i]), g=NormL1(lam[i]), gamma=0.05,
+        )
+        assert it == int(iters[i]), f"lane {i}: {it} != {int(iters[i])}"
+        np.testing.assert_allclose(np.asarray(z[i]), np.asarray(x),
+                                   rtol=0, atol=1e-12)
+    with pytest.raises(ValueError):
+        batched_adaptive_fb(f, g, x0, TOL, maxit=100, reduce_gamma=1.0)

@@ -432,3 +432,71 @@ def test_elastic_net_routes_to_kernel(lasso):
     assert bool(jnp.all(d_m)) and bool(jnp.all(d_g))
     np.testing.assert_allclose(np.asarray(xs_m), np.asarray(xs_g),
                                atol=1e-4)
+
+
+def test_unknown_kwarg_skips_fast_path_and_raises(lasso):
+    """r5 review: a kwarg the factory does not accept must NOT be
+    silently dropped by a structural matcher — the generic path raises
+    the factory's own TypeError (e.g. A= with DRLS used to silently
+    solve the A-less problem)."""
+    from proxtpu.algorithms.drls import make_drls_iteration
+    from proxtpu.ops.linops import IdentityOperator
+    from proxtpu.prox import SqrNormL2
+
+    A, b, lam, Lf = lasso
+    solver = BatchedAlgorithm(make_drls_iteration, maxit=50, tol=TOL)
+    with pytest.raises(TypeError):
+        solver(
+            x0=jnp.zeros((B, N), jnp.float32),
+            f=LeastSquaresLoss(A, b), g=NormL1(lam), Lf=Lf,
+            A=IdentityOperator(),
+        )
+    # mf on the momentum-less plain FB factory likewise raises
+    solver2 = BatchedAlgorithm(make_forward_backward_iteration,
+                               maxit=50, tol=TOL)
+    with pytest.raises(TypeError):
+        solver2(**lasso_kwargs(A, b, lam, Lf), mf=0.1)
+
+
+def test_array_mf_matcher_returns_none(lasso):
+    """r5 review: an array-valued mf must make match_flat_adaptive
+    return None (generic fallback), not crash on array truthiness.
+    (The factory itself also rejects array mf, so the end-to-end error
+    belongs to the factory — the matcher must not preempt it with an
+    opaque truthiness ValueError.)"""
+    from proxtpu.kernels.dispatch import match_flat_adaptive
+
+    A, b, lam, Lf = lasso
+    kw = lasso_kwargs(A, b, lam, Lf)
+    kw.pop("Lf")
+    kw["adaptive"] = True
+    kw["mf"] = jnp.full((B,), 0.1, jnp.float32)
+    run = match_flat_adaptive(
+        make_fast_forward_backward_iteration, kw, tol=TOL, maxit=100,
+    )
+    assert run is None
+
+
+def test_f64_problems_skip_real_kernels():
+    """r5 review: the Pallas kernels are f32-only on TPU — an f64
+    problem must route to the pure-XLA branch.  Checked structurally:
+    the matcher's returned runner must execute without touching a real
+    pallas_call even when the TPU branch is forced via interpret
+    semantics (on CPU the guard is exercised by dtype alone)."""
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((B, M, N)) / np.sqrt(M),
+                    jnp.float64)
+    b = jnp.asarray(rng.standard_normal((B, M)), jnp.float64)
+    lam = jnp.asarray(
+        0.1 * np.max(np.abs(np.einsum(
+            "bmn,bm->bn", np.asarray(A), np.asarray(b))), axis=1),
+        jnp.float64)
+    Lf = jnp.asarray([np.linalg.norm(np.asarray(A[i]), 2) ** 2
+                      for i in range(B)], jnp.float64)
+    solver = BatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=4000, tol=1e-9,
+    )
+    xs, it, done = solver(x0=jnp.zeros((B, N), jnp.float64),
+                          f=LeastSquaresLoss(A, b), g=NormL1(lam), Lf=Lf)
+    assert bool(jnp.all(done))
+    assert xs.dtype == jnp.float64

@@ -237,3 +237,29 @@ def test_warm_single_construction_time_problem_kwargs():
     x, it = solver(x0=jnp.zeros(A.shape[1], jnp.float64))
     xstar = np.asarray(P.LASSO_XSTAR, np.float64)
     assert float(jnp.max(jnp.abs(x - xstar))) <= 1e-6
+
+
+def test_warm_stage_blowup_lane_falls_back_to_cold_start():
+    """r5 review: a lane whose data overflows the f32 warm cast (or
+    whose f32 solve diverges) must NOT poison the f64 polish stage with
+    NaN — the polish falls back to the cold x0 for that lane, keeping
+    the documented 'correctness never depends on the warm stage'."""
+    rng = np.random.default_rng(11)
+    B_, M_, N_ = 3, 8, 6
+    A = rng.standard_normal((B_, M_, N_)) / np.sqrt(M_)
+    A[0] *= 1e30  # f32 Gram/steps overflow; fine in f64
+    b = rng.standard_normal((B_, M_))
+    lam = 0.1 * np.max(np.abs(np.einsum("bmn,bm->bn", A, b)), axis=1)
+    Lf = np.array([np.linalg.norm(A[i], 2) ** 2 for i in range(B_)])
+    solver = WarmStartedBatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=20000, tol=1e-8,
+        warm_maxit=200,
+    )
+    xs, it, done = solver(
+        x0=jnp.zeros((B_, N_), jnp.float64),
+        f=LeastSquaresLoss(jnp.asarray(A), jnp.asarray(b)),
+        g=NormL1(jnp.asarray(lam)),
+        Lf=jnp.asarray(Lf),
+    )
+    assert bool(jnp.all(done)), np.asarray(done)
+    assert np.all(np.isfinite(np.asarray(xs)))

@@ -103,11 +103,21 @@ def match_flat_adaptive(factory, kwargs, *, tol, maxit, stop=None,
         if len(shp) == 0 or shp[0] != B:
             return None
 
+    # real dtype for the stepsize state (complex iterates keep real
+    # gammas, like match_flat_linesearch), and _scalar_or_vec-style
+    # validation so a mis-shaped gamma/Lf falls back to the generic
+    # driver instead of raising a broadcast error here (r5 review)
+    R = np.dtype(x0.dtype).type(0).real.dtype
     gamma0 = None
     if gamma is not None:
-        gamma0 = jnp.broadcast_to(jnp.asarray(gamma, x0.dtype), (B,))
+        gamma0 = _scalar_or_vec(gamma, B, R)
+        if gamma0 is None:
+            return None
     elif Lf is not None:
-        gamma0 = 1.0 / jnp.broadcast_to(jnp.asarray(Lf, x0.dtype), (B,))
+        Lfv = _scalar_or_vec(Lf, B, R)
+        if Lfv is None:
+            return None
+        gamma0 = 1.0 / Lfv
 
     from ..parallel.adaptive_batch import (
         batched_adaptive_fb,

@@ -93,10 +93,68 @@ def warm_tol_sweep(reps):
                   reps)
 
 
+def stream_mode(reps):
+    """Round-5 streaming rows: the f64 warm-started flagship lam-path
+    drained through ``stream_solve`` (depth 2, smallest-leaf fence) vs
+    the committed fenced-each protocol — the r5 streaming-protocol
+    finding applied to the reference-tolerance path (same solutions,
+    same convergence gate; the wall is host dispatch + fence, both
+    overlapped).  Committed rows: ``x64_stream_*`` in
+    ``results_x64_batched.jsonl``."""
+    from proxtpu.parallel import stream_solve
+
+    rng = np.random.default_rng(0)
+    dt = np.float64
+    A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), dt)
+    b = jnp.asarray(rng.standard_normal(M), dt)
+    lam_max = float(np.max(np.abs(np.asarray(A).T @ np.asarray(b))))
+    lams = jnp.asarray(
+        lam_max * np.logspace(np.log10(0.02), np.log10(0.5), BATCH), dt
+    )
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    kw = dict(x0=jnp.zeros((BATCH, N), dt),
+              f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    for tol in (1e-6, 1e-8):
+        ws = WarmStartedBatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=20000, tol=tol,
+            warm_tol=1.2e-5, use_kernels=False, check_every=8,
+        )
+        xs, it, done = ws(**kw)
+        np.asarray(xs)
+        assert bool(jnp.all(done))
+        import time as _t
+        ts = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            out = ws(**kw)
+            np.asarray(out[0])
+            ts.append(_t.perf_counter() - t0)
+        print(json.dumps({
+            "variant": f"x64_stream_fenced_each_tol{tol:g}",
+            "problems_per_sec": BATCH / float(np.median(ts)),
+        }), flush=True)
+        n_stream = 4
+        list(stream_solve(lambda _p: ws(**kw), range(n_stream), depth=2))
+        ts = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            list(stream_solve(
+                lambda _p: ws(**kw), range(n_stream), depth=2))
+            ts.append((_t.perf_counter() - t0) / n_stream)
+        print(json.dumps({
+            "variant": f"x64_stream_depth2_tol{tol:g}",
+            "problems_per_sec": BATCH / float(np.median(ts)),
+            "n_stream": n_stream,
+        }), flush=True)
+
+
 def main():
     reps = 2 if "--quick" in sys.argv else 3
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "x64": True}), flush=True)
+    if "--stream" in sys.argv:
+        stream_mode(reps)
+        return
     if "--warm-tol-sweep" in sys.argv:
         warm_tol_sweep(reps)
         return

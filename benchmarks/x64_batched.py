@@ -15,6 +15,11 @@ The fused Pallas kernels are f32 by design (VPU-native); x64 runs take
 the pure-XLA paths (``use_kernels=False`` / the flat machines).
 
 Usage: python benchmarks/x64_batched.py [--quick]
+       python benchmarks/x64_batched.py --stream
+           (round-5 streaming rows: warm lam-path through stream_solve)
+       python benchmarks/x64_batched.py --restart
+           (round-5 adaptive-restart rows: AdaptiveRestartSequence on the
+           cold/warm f64 paths; wins 5.4x cold / 1.5x warm at tol 1e-8)
        python benchmarks/x64_batched.py --warm-tol-sweep
            (the ADVICE-r4 artifact mode: records the warm_tol sweep behind
            WarmStartedBatchedAlgorithm's 1.2e-5 default — cold reference
@@ -148,12 +153,87 @@ def stream_mode(reps):
         }), flush=True)
 
 
+def restart_mode(reps):
+    """Round-5: O'Donoghue-Candès adaptive restart on the reference-
+    tolerance path (rows ``x64_restart_*`` in
+    ``results_x64_batched.jsonl``).  AdaptiveRestartSequence cuts f64
+    iterations 3-8x on the flagship lam-path (the signal check is a (B,)
+    reduction every step, so the generic driver's per-iteration cost
+    roughly doubles on this tunnel — the net is decided by the iteration
+    cut): committed rows (this file, quiet session) cold 79 -> 428 p/s
+    and warm 351 -> 520 at tol 1e-8 (plain FISTA needs up to 16.7k
+    iterations there; restart caps at 1.9k), streamed warm-restart 578,
+    while at tol 1e-6 the plain warm path stays ahead (1697 vs 1188)
+    because only a few hundred polish iterations remain to cut.
+    Recommendation recorded in BASELINE.md: restart for tol <= 1e-8,
+    plain warm at 1e-6.  Parity: same stopping criterion, every lane's
+    done flag asserted; trajectory differs (distinct tol-ball member)."""
+    from proxtpu.accel import AdaptiveRestartSequence
+
+    rng = np.random.default_rng(0)
+    dt = np.float64
+    A = jnp.asarray(rng.standard_normal((M, N)) / np.sqrt(M), dt)
+    b = jnp.asarray(rng.standard_normal(M), dt)
+    lam_max = float(np.max(np.abs(np.asarray(A).T @ np.asarray(b))))
+    lams = jnp.asarray(
+        lam_max * np.logspace(np.log10(0.02), np.log10(0.5), BATCH), dt
+    )
+    Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    kw = dict(x0=jnp.zeros((BATCH, N), dt),
+              f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    seq = AdaptiveRestartSequence()
+    for tol in (1e-6, 1e-8):
+        cold = BatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=40000, tol=tol,
+            use_kernels=False, check_every=8)
+        warm = WarmStartedBatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=40000, tol=tol,
+            use_kernels=False, check_every=8)
+        cold_r = BatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=40000, tol=tol,
+            use_kernels=False, check_every=8, extrapolation_sequence=seq)
+        warm_r = WarmStartedBatchedAlgorithm(
+            make_fast_forward_backward_iteration, maxit=40000, tol=tol,
+            use_kernels=False, check_every=8, extrapolation_sequence=seq)
+        timed(f"x64_restart_ref_cold_plain_tol{tol:g}",
+              lambda: cold(**kw), reps)
+        timed(f"x64_restart_cold_tol{tol:g}", lambda: cold_r(**kw), reps)
+        timed(f"x64_restart_ref_warm_plain_tol{tol:g}",
+              lambda: warm(**kw), reps)
+        timed(f"x64_restart_warm_tol{tol:g}", lambda: warm_r(**kw), reps)
+    # streamed warm-restart at 1e-8 (the regime where restart wins):
+    # depth-2 stream_solve drain, same protocol as stream_mode
+    from proxtpu.parallel import stream_solve
+    import time as _t
+    ws = WarmStartedBatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=40000, tol=1e-8,
+        use_kernels=False, check_every=8, extrapolation_sequence=seq)
+    xs, _, done = ws(**kw)
+    np.asarray(xs)
+    assert bool(jnp.all(done))
+    n_stream = 4
+    list(stream_solve(lambda _p: ws(**kw), range(n_stream), depth=2))
+    ts = []
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        list(stream_solve(lambda _p: ws(**kw), range(n_stream), depth=2))
+        ts.append((_t.perf_counter() - t0) / n_stream)
+    print(json.dumps({
+        "variant": "x64_restart_warm_stream_depth2_tol1e-08",
+        "problems_per_sec": BATCH / float(np.median(ts)),
+        "n_stream": n_stream,
+    }), flush=True)
+
+
 def main():
     reps = 2 if "--quick" in sys.argv else 3
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "x64": True}), flush=True)
     if "--stream" in sys.argv:
         stream_mode(reps)
+        return
+    if "--restart" in sys.argv:
+        restart_mode(reps)
         return
     if "--warm-tol-sweep" in sys.argv:
         warm_tol_sweep(reps)

@@ -66,6 +66,38 @@ def test_warm_started_matches_cold_f64(tol):
     assert int(jnp.max(it_w)) < 2 * int(jnp.max(it_c))
 
 
+@pytest.mark.parametrize("tol", [1e-6, 1e-8])
+def test_warm_started_adaptive_restart_parity(tol):
+    """Round-5: AdaptiveRestartSequence through the warm f32->f64 path.
+
+    The restart trajectory differs from textbook FISTA but must satisfy
+    the SAME f64 FB-residual criterion at every lane, converge every
+    lane, and cut iterations (the O'Donoghue-Candès effect measured at
+    3-6x on this family, BASELINE.md).  Chip rows:
+    ``benchmarks/results_x64_batched.jsonl`` (``x64_restart_*``)."""
+    from proxtpu.accel import AdaptiveRestartSequence
+
+    A, b, lams, Lf = lam_path_problem()
+    B, N = lams.shape[0], A.shape[1]
+    kw = dict(x0=jnp.zeros((B, N), jnp.float64),
+              f=Shared(LeastSquaresLoss(A, b)), g=NormL1(lams), Lf=Lf)
+    plain = WarmStartedBatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=50000, tol=tol,
+        use_kernels=False)
+    restart = WarmStartedBatchedAlgorithm(
+        make_fast_forward_backward_iteration, maxit=50000, tol=tol,
+        use_kernels=False,
+        extrapolation_sequence=AdaptiveRestartSequence())
+    xs_p, it_p, d_p = plain(**kw)
+    xs_r, it_r, d_r = restart(**kw)
+    assert bool(jnp.all(d_p)) and bool(jnp.all(d_r))
+    assert xs_r.dtype == jnp.float64
+    for i in range(B):
+        assert fb_residual(A, b, float(lams[i]), Lf, xs_r[i]) <= 1.05 * tol
+        assert float(jnp.max(jnp.abs(xs_r[i] - xs_p[i]))) <= 50 * tol
+    assert int(jnp.max(it_r)) < int(jnp.max(it_p))
+
+
 def test_cast_problem_preserves_shared_and_ints():
     A = jnp.ones((3, 4), jnp.float64)
     tree = {

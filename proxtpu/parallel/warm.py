@@ -96,6 +96,16 @@ class WarmStartedBatchedAlgorithm:
     attainability is problem-dependent), it exits at ``warm_maxit`` and
     stage 2 still finishes the job — correctness never depends on the
     warm stage; raise ``warm_tol`` to stop paying for the stall.
+
+    For tolerances at or below 1e-8, compose with adaptive restart —
+    ``extrapolation_sequence=AdaptiveRestartSequence()`` — which caps
+    the slow lanes' momentum oscillation (worst lane 4.3k -> 1.9k
+    iterations, 350 -> 520 p/s fenced / 578 streamed on the flagship
+    lam-path; committed rows ``x64_restart_*`` in
+    ``results_x64_batched.jsonl``).  At tol 1e-6 plain warm is faster
+    (1,697 vs 1,188 committed): the restart signal is a per-step (B,)
+    reduction that roughly doubles the generic driver's per-iteration
+    cost, and too few polish iterations remain to amortize it.
     """
 
     def __init__(self, iteration_factory, *, maxit, tol, warm_tol=1.2e-5,

@@ -46,4 +46,4 @@ from .utils.fb_tools import (
     lower_bound_smoothness_constant,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"

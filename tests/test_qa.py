@@ -15,6 +15,17 @@ import pytest
 import proxtpu as pa
 
 
+def test_version_matches_pyproject():
+    """__version__ and pyproject.toml must agree (they drifted once)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as fh:
+        m = re.search(r'^version = "([^"]+)"', fh.read(), re.M)
+    assert m and m.group(1) == pa.__version__
+
+
 def test_all_algorithm_exports_resolve():
     for name in [
         "ForwardBackward", "FastForwardBackward", "ProximalGradient",

@@ -26,6 +26,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
+from proxtpu.accel import AdaptiveRestartSequence
 from proxtpu.algorithms import make_fast_forward_backward_iteration
 from proxtpu.parallel import Shared, WarmStartedBatchedAlgorithm
 from proxtpu.prox import LeastSquaresLoss, NormL1
@@ -41,9 +42,14 @@ def main(m=40, n=80, path_points=16, tol=1e-8, verbose=True):
     )
     Lf = float(np.linalg.norm(np.asarray(A), 2) ** 2)
 
+    # at tol <= 1e-8, adaptive restart caps the slow lanes' momentum
+    # oscillation (7.3x a cold f64 solve end-to-end, x64_restart_* rows);
+    # at 1e-6 leave it off — plain warm is faster (BASELINE.md)
+    restart = (dict(extrapolation_sequence=AdaptiveRestartSequence())
+               if tol <= 1e-8 else {})
     solver = WarmStartedBatchedAlgorithm(
         make_fast_forward_backward_iteration,
-        maxit=100_000, tol=tol, use_kernels=False,
+        maxit=100_000, tol=tol, use_kernels=False, **restart,
     )
     xs, iters, done = solver(
         x0=jnp.zeros((path_points, n), jnp.float64),

@@ -63,6 +63,12 @@ bench-families:
 bench-x64:
     python benchmarks/x64_batched.py
 
+bench-x64-stream:
+    python benchmarks/x64_batched.py --stream
+
+bench-x64-restart:
+    python benchmarks/x64_batched.py --restart
+
 bench-warm-single:
     python benchmarks/warm_single_bench.py
 
